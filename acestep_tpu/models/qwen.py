@@ -1,0 +1,152 @@
+"""Qwen3 transformer in pure functional JAX.
+
+Serves two roles in the stack (mirroring the reference):
+  * text encoder — Qwen3-Embedding-0.6B full-sequence causal forward producing the
+    style/lyric hidden states (acestep_ggml/cpp/qwen_model.cpp:528-695,
+    acestep/handler.py:766-769);
+  * LM planner backbone — acestep-5Hz-lm-{0.6B,1.7B,4B} Qwen3 fine-tunes
+    (decode loop lives in acestep_tpu/serving).
+
+Architecture per layer: RMSNorm -> GQA attention with per-head q/k RMSNorm +
+NEOX RoPE -> residual -> RMSNorm -> SwiGLU MLP -> residual; final RMSNorm.
+
+Params are a plain pytree; every ``*_proj`` kernel is stored ``[K, N]`` and may be
+a QuantTensor (see acestep_tpu.quant).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import QwenConfig
+from acestep_tpu.ops import (
+    apply_rope,
+    attention,
+    linear,
+    make_attention_mask,
+    rms_norm,
+    rope_cos_sin,
+)
+
+Params = Dict[str, Any]
+
+
+def init_params(
+    key: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16, scale: float = 0.02
+) -> Params:
+    """Random-init params (used for tests/benches; real weights come from the converter)."""
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nh, nkv, inter = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+
+    def dense(k, kk, n):
+        return {"kernel": (jax.random.normal(k, (kk, n), jnp.float32) * scale).astype(dtype)}
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "input_norm": jnp.ones((h,), dtype),
+            "q_proj": dense(ks[0], h, nh * hd),
+            "k_proj": dense(ks[1], h, nkv * hd),
+            "v_proj": dense(ks[2], h, nkv * hd),
+            "o_proj": dense(ks[3], nh * hd, h),
+            "q_norm": jnp.ones((hd,), dtype),
+            "k_norm": jnp.ones((hd,), dtype),
+            "post_norm": jnp.ones((h,), dtype),
+            "gate_proj": dense(ks[4], h, inter),
+            "up_proj": dense(ks[5], h, inter),
+            "down_proj": dense(ks[6], inter, h),
+        }
+
+    return {
+        "embed_tokens": (
+            jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32) * scale
+        ).astype(dtype),
+        "layers": [layer(keys[i + 1]) for i in range(cfg.num_hidden_layers)],
+        "norm": jnp.ones((h,), dtype),
+    }
+
+
+def attention_block(
+    p: Params,
+    cfg: QwenConfig,
+    x: jax.Array,                    # [B, L, H]
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: Optional[jax.Array],
+) -> jax.Array:
+    b, l, _ = x.shape
+    hd = cfg.head_dim
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
+    k = linear(x, p["k_proj"]["kernel"]).reshape(b, l, nkv, hd)
+    v = linear(x, p["v_proj"]["kernel"]).reshape(b, l, nkv, hd)
+
+    q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    q, k = apply_rope(q, k, cos, sin)
+    out = attention(q, k, v, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
+    return linear(out, p["o_proj"]["kernel"])
+
+
+def mlp_block(p: Params, x: jax.Array) -> jax.Array:
+    gate = linear(x, p["gate_proj"]["kernel"])
+    up = linear(x, p["up_proj"]["kernel"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+    return linear(act, p["down_proj"]["kernel"])
+
+
+def forward(
+    params: Params,
+    cfg: QwenConfig,
+    token_ids: jax.Array,                    # [B, L] int32
+    attn_mask: Optional[jax.Array] = None,   # [B, L] 1=valid
+    *,
+    causal: bool = True,
+    num_layers: Optional[int] = None,
+    final_norm: bool = True,
+) -> jax.Array:
+    """Full-sequence forward -> hidden states [B, L, H]."""
+    b, l = token_ids.shape
+    x = params["embed_tokens"][token_ids]
+
+    positions = jnp.arange(l)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, base=cfg.rope_theta)
+    mask = make_attention_mask(l, l, kv_valid=attn_mask, causal=causal)
+
+    n = len(params["layers"]) if num_layers is None else num_layers
+    for p in params["layers"][:n]:
+        h = x + attention_block(
+            p, cfg, rms_norm(x, p["input_norm"], cfg.rms_norm_eps), cos, sin, mask
+        )
+        x = h + mlp_block(p, rms_norm(h, p["post_norm"], cfg.rms_norm_eps))
+
+    if final_norm and (num_layers is None or num_layers == len(params["layers"])):
+        x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x
+
+
+def embeddings_only(params: Params, token_ids: jax.Array) -> jax.Array:
+    """Embedding lookup only — the reference feeds raw embeddings to the DiT lyric
+    encoder (acestep_ggml/cpp/qwen_model.cpp:680-695)."""
+    return params["embed_tokens"][token_ids]
+
+
+def lm_logits(params: Params, cfg: QwenConfig, hidden: jax.Array) -> jax.Array:
+    """Project final hidden states to vocab logits (tied embeddings by default)."""
+    head = params.get("lm_head")
+    if head is not None:
+        return linear(hidden, head["kernel"])
+    emb = params["embed_tokens"]
+    return jnp.dot(
+        hidden.astype(jnp.bfloat16),
+        emb.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )

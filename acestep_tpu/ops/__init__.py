@@ -1,0 +1,22 @@
+from .nn import (
+    apply_rope,
+    attention,
+    make_attention_mask,
+    rms_norm,
+    rope_cos_sin,
+    silu,
+    sinusoidal_timestep_embedding,
+)
+from .qlinear import linear, resolve_backend
+
+__all__ = [
+    "apply_rope",
+    "attention",
+    "make_attention_mask",
+    "rms_norm",
+    "rope_cos_sin",
+    "silu",
+    "sinusoidal_timestep_embedding",
+    "linear",
+    "resolve_backend",
+]
