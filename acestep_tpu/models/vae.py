@@ -1,0 +1,320 @@
+"""Oobleck VAE (Stable-Audio-style 48 kHz stereo codec) in functional JAX.
+
+Behavioral reference: diffusers AutoencoderOobleck as re-implemented in
+acestep/mlx_vae/model.py (Snake :24-60, residual units :62-88, blocks :94-142,
+encoder/decoder :149-230) and acestep_ggml/cpp/acestep_vae_model.cpp
+(weight-norm folding :520-589, Snake :682-692, conv padding emulation :694-722,
+decode :957-1002, encode-mean :1004-1043).
+
+Precision: the reference keeps the VAE out of fp16 because the Snake/ConvTranspose
+chain audibly degrades (handler.py:189-210, _get_vae_dtype handler.py:1388).
+Everything here computes in float32.
+
+Layouts: activations are NLC ``[B, L, C]``; conv kernels are stored in lax layout
+``[k, C_in, C_out]`` (torch Conv1d ``[out, in, k]`` -> transpose(2, 1, 0); torch
+ConvTranspose1d ``[in, out, k]`` -> spatial-reversed transpose(2, 0, 1), see
+converter).  Weight-norm is folded at conversion time.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import VAEConfig
+
+Params = Dict[str, Any]
+
+_DN = ("NWC", "WIO", "NWC")  # lhs [B, L, C], rhs [k, in, out]
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def conv1d(
+    x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+    *, stride: int = 1, padding: int = 0, dilation: int = 1,
+) -> jax.Array:
+    """torch.nn.Conv1d semantics on NLC input; w is [k, in, out]."""
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride,),
+        padding=((padding, padding),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DN,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose1d(
+    x: jax.Array, w: jax.Array, b: Optional[jax.Array] = None,
+    *, stride: int = 1, padding: int = 0,
+) -> jax.Array:
+    """torch.nn.ConvTranspose1d semantics; w is already spatially-reversed
+    [k, in, out] (see module docstring).  out_len = (L-1)*stride - 2*pad + k."""
+    k = w.shape[0]
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=((k - 1 - padding, k - 1 - padding),),
+        lhs_dilation=(stride,),
+        dimension_numbers=_DN,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def snake(x: jax.Array, alpha: jax.Array, beta: jax.Array, logscale: bool = True) -> jax.Array:
+    """Snake activation x + sin^2(a*x)/b  (vae_model.cpp:682-692), f32 compute."""
+    xf = x.astype(jnp.float32)
+    a = jnp.exp(alpha.astype(jnp.float32)) if logscale else alpha.astype(jnp.float32)
+    b = jnp.exp(beta.astype(jnp.float32)) if logscale else beta.astype(jnp.float32)
+    y = xf + (1.0 / (b + 1e-9)) * jnp.square(jnp.sin(a * xf))
+    return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _conv_p(key, k, cin, cout, dtype, bias=True, scale=None):
+    if scale is None:
+        scale = 1.0 / math.sqrt(k * cin)
+    p = {"w": (jax.random.normal(key, (k, cin, cout), jnp.float32) * scale).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def _snake_p(c, dtype):
+    return {"alpha": jnp.zeros((c,), dtype), "beta": jnp.zeros((c,), dtype)}
+
+
+def _res_unit_p(key, dim, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "snake1": _snake_p(dim, dtype),
+        "conv1": _conv_p(k1, 7, dim, dim, dtype),
+        "snake2": _snake_p(dim, dtype),
+        "conv2": _conv_p(k2, 1, dim, dim, dtype),
+    }
+
+
+def init_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params:
+    eh = cfg.encoder_hidden_size
+    ch = cfg.decoder_channels
+    cm = (1,) + tuple(cfg.channel_multiples)
+    n = len(cfg.downsampling_ratios)
+    keys = iter(jax.random.split(key, 4 + 8 * n * 2))
+
+    enc_blocks = []
+    for i, s in enumerate(cfg.downsampling_ratios):
+        cin, cout = eh * cm[i], eh * cm[i + 1]
+        enc_blocks.append({
+            "res1": _res_unit_p(next(keys), cin, dtype),
+            "res2": _res_unit_p(next(keys), cin, dtype),
+            "res3": _res_unit_p(next(keys), cin, dtype),
+            "snake1": _snake_p(cin, dtype),
+            "conv1": _conv_p(next(keys), 2 * s, cin, cout, dtype),
+        })
+
+    dec_blocks = []
+    strides = cfg.upsampling_ratios
+    for i, s in enumerate(strides):
+        cin = ch * cm[len(strides) - i]
+        cout = ch * cm[len(strides) - i - 1]
+        dec_blocks.append({
+            "snake1": _snake_p(cin, dtype),
+            "conv_t1": _conv_p(next(keys), 2 * s, cin, cout, dtype),
+            "res1": _res_unit_p(next(keys), cout, dtype),
+            "res2": _res_unit_p(next(keys), cout, dtype),
+            "res3": _res_unit_p(next(keys), cout, dtype),
+        })
+
+    return {
+        "encoder": {
+            "conv1": _conv_p(next(keys), 7, cfg.audio_channels, eh, dtype),
+            "blocks": enc_blocks,
+            "snake1": _snake_p(eh * cm[-1], dtype),
+            "conv2": _conv_p(next(keys), 3, eh * cm[-1], eh, dtype),
+        },
+        "decoder": {
+            "conv1": _conv_p(next(keys), 7, cfg.decoder_input_channels, ch * cm[-1], dtype),
+            "blocks": dec_blocks,
+            "snake1": _snake_p(ch, dtype),
+            "conv2": _conv_p(next(keys), 7, ch, cfg.audio_channels, dtype, bias=False),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _res_unit(p: Params, x: jax.Array, dilation: int) -> jax.Array:
+    pad = ((7 - 1) * dilation) // 2
+    y = conv1d(snake(x, **p["snake1"]), p["conv1"]["w"], p["conv1"].get("b"),
+               padding=pad, dilation=dilation)
+    y = conv1d(snake(y, **p["snake2"]), p["conv2"]["w"], p["conv2"].get("b"))
+    # safety trim (mlx_vae/model.py:82-86) — no-op with correct padding
+    trim = (x.shape[1] - y.shape[1]) // 2
+    if trim > 0:
+        x = x[:, trim:-trim, :]
+    return x + y
+
+
+def encode(params: Params, cfg: VAEConfig, audio: jax.Array) -> jax.Array:
+    """audio [B, L, 2] -> posterior MEAN latents [B, L//hop, 64]
+    (the C++ encode returns mean channels only, vae_model.cpp:1004-1043)."""
+    p = params["encoder"]
+    x = audio.astype(jnp.float32)
+    x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
+    for blk, s in zip(p["blocks"], cfg.downsampling_ratios):
+        x = _res_unit(blk["res1"], x, 1)
+        x = _res_unit(blk["res2"], x, 3)
+        x = _res_unit(blk["res3"], x, 9)
+        x = snake(x, **blk["snake1"])
+        x = conv1d(x, blk["conv1"]["w"], blk["conv1"].get("b"),
+                   stride=s, padding=math.ceil(s / 2))
+    x = snake(x, **p["snake1"])
+    x = conv1d(x, p["conv2"]["w"], p["conv2"].get("b"), padding=1)
+    mean, _scale = jnp.split(x, 2, axis=-1)
+    return mean
+
+
+def encode_and_sample(
+    params: Params, cfg: VAEConfig, audio: jax.Array, key: jax.Array
+) -> jax.Array:
+    """Sample z ~ posterior (softplus std + 1e-4; mlx_vae/model.py:285-304)."""
+    p = params["encoder"]
+    x = audio.astype(jnp.float32)
+    x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
+    for blk, s in zip(p["blocks"], cfg.downsampling_ratios):
+        x = _res_unit(blk["res1"], x, 1)
+        x = _res_unit(blk["res2"], x, 3)
+        x = _res_unit(blk["res3"], x, 9)
+        x = snake(x, **blk["snake1"])
+        x = conv1d(x, blk["conv1"]["w"], blk["conv1"].get("b"),
+                   stride=s, padding=math.ceil(s / 2))
+    x = snake(x, **p["snake1"])
+    x = conv1d(x, p["conv2"]["w"], p["conv2"].get("b"), padding=1)
+    mean, scale = jnp.split(x, 2, axis=-1)
+    std = jnp.where(scale > 20.0, scale, jnp.log1p(jnp.exp(jnp.minimum(scale, 20.0)))) + 1e-4
+    return mean + std * jax.random.normal(key, mean.shape, jnp.float32)
+
+
+def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
+    """latents [B, T, 64] -> audio [B, T*hop, 2] (f32)."""
+    p = params["decoder"]
+    x = latents.astype(jnp.float32)
+    x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
+    for blk, s in zip(p["blocks"], cfg.upsampling_ratios):
+        x = snake(x, **blk["snake1"])
+        x = conv_transpose1d(x, blk["conv_t1"]["w"], blk["conv_t1"].get("b"),
+                             stride=s, padding=math.ceil(s / 2))
+        x = _res_unit(blk["res1"], x, 1)
+        x = _res_unit(blk["res2"], x, 3)
+        x = _res_unit(blk["res3"], x, 9)
+    x = snake(x, **p["snake1"])
+    x = conv1d(x, p["conv2"]["w"], None, padding=3)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# tiled decode / encode (overlap-discard; acestep_ggml.cpp:2114-2229,
+# handler.py:2848-3060)
+# ---------------------------------------------------------------------------
+
+def tiled_decode(
+    params: Params,
+    cfg: VAEConfig,
+    latents: jax.Array,              # [B, T, 64]
+    chunk_frames: int = 128,
+    overlap_frames: Optional[int] = None,
+    decode_fn=None,
+) -> jax.Array:
+    """Chunked decode with overlap-discard; window/overlap/trim semantics match
+    the C++ runtime (acestep_ggml.cpp:2114-2229).  At most 3 distinct window
+    sizes occur, so the jitted decode compiles at most 3 times per seq bucket."""
+    b, t, c = latents.shape
+    if decode_fn is None:
+        decode_fn = jax.jit(lambda lat: decode(params, cfg, lat))
+    if chunk_frames <= 0 or chunk_frames >= t:
+        return decode_fn(latents)
+
+    if overlap_frames is None:
+        overlap_frames = min(64, max(1, chunk_frames // 4))
+    if overlap_frames * 2 >= chunk_frames:
+        overlap_frames = max(0, chunk_frames // 2 - 1)
+    stride = chunk_frames - 2 * overlap_frames
+    if stride <= 0:
+        overlap_frames, stride = 0, chunk_frames
+
+    pieces = []
+    upsample = None
+    for core_start in range(0, t, stride):
+        core_end = min(core_start + stride, t)
+        win_start = max(0, core_start - overlap_frames)
+        win_end = min(t, core_end + overlap_frames)
+        audio = decode_fn(latents[:, win_start:win_end, :])
+        win_frames = win_end - win_start
+        if upsample is None:
+            upsample = audio.shape[1] / win_frames
+        trim_start = int(round((core_start - win_start) * upsample))
+        trim_end = int(round((win_end - core_end) * upsample))
+        end = audio.shape[1] - trim_end
+        pieces.append(audio[:, trim_start:end, :])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def tiled_encode(
+    params: Params,
+    cfg: VAEConfig,
+    audio: jax.Array,               # [B, L, 2]
+    chunk_frames: int = 64,
+    overlap_frames: int = 16,
+    encode_fn=None,
+) -> jax.Array:
+    """Chunked encode (latent-frame-aligned windows, overlap-discard)."""
+    hop = cfg.hop_length
+    b, l, c = audio.shape
+    t = l // hop
+    if encode_fn is None:
+        encode_fn = jax.jit(lambda a: encode(params, cfg, a))
+    if chunk_frames <= 0 or chunk_frames >= t:
+        return encode_fn(audio[:, : t * hop, :])
+
+    if overlap_frames * 2 >= chunk_frames:
+        overlap_frames = max(0, chunk_frames // 2 - 1)
+    stride = chunk_frames - 2 * overlap_frames
+    if stride <= 0:
+        overlap_frames, stride = 0, chunk_frames
+
+    pieces = []
+    for core_start in range(0, t, stride):
+        core_end = min(core_start + stride, t)
+        win_start = max(0, core_start - overlap_frames)
+        win_end = min(t, core_end + overlap_frames)
+        lat = encode_fn(audio[:, win_start * hop:win_end * hop, :])
+        trim_start = core_start - win_start
+        trim_end = win_end - core_end
+        end = lat.shape[1] - trim_end
+        pieces.append(lat[:, trim_start:end, :])
+    return jnp.concatenate(pieces, axis=1)
+
+
+def silence_latents(
+    params: Params, cfg: VAEConfig, n_frames: int, chunk_frames: int = 64
+) -> jax.Array:
+    """VAE-encode silence to build the src-latent context for text2music
+    (acestep_ggml.cpp:1952-2040; chunked 64-frame encode)."""
+    audio = jnp.zeros((1, n_frames * cfg.hop_length, cfg.audio_channels), jnp.float32)
+    return tiled_encode(params, cfg, audio, chunk_frames=chunk_frames, overlap_frames=0)
