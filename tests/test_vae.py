@@ -160,15 +160,19 @@ class TestEndToEnd:
         assert np.abs(tiled - full).max() > 1e-2
 
     def test_tiled_encode_matches_full(self, setup):
+        # encoder receptive field of the random-init tiny config probes at
+        # ~16 latent frames; overlap 18 covers it
         params = setup
-        t = 32
+        t = 96
         audio = jnp.asarray(np.random.default_rng(7).standard_normal(
             (1, t * TINY.hop_length, 2)) * 0.1, jnp.float32)
         full = np.asarray(vae.encode(params, TINY, audio))
         tiled = np.asarray(vae.tiled_encode(params, TINY, audio,
-                                            chunk_frames=12, overlap_frames=4))
+                                            chunk_frames=56, overlap_frames=18))
         assert tiled.shape == full.shape
-        assert np.median(np.abs(tiled - full)) < 1e-5
+        err = np.abs(tiled - full) / (np.abs(full).mean() + 1e-12)
+        assert np.median(err) < 1e-5
+        assert err.max() < 1e-3
 
     def test_silence_latents(self, setup):
         params = setup
