@@ -1,0 +1,328 @@
+"""End-to-end generation pipeline (native TPU analog of the reference's
+ace_generate_audio_style_lyric_timbre path + handler batch prep).
+
+Flow (SURVEY.md §3.3):
+  style tokens -> Qwen text encoder -> text_projector          \
+  lyric tokens -> Qwen embeddings -> DiT lyric encoder          > pack [lyric|timbre|style]
+  refer latents -> DiT timbre encoder (1 token per clip)       /
+  context_latents = concat(src_latents, chunk_mask)  (silence src for text2music)
+  8-step flow-matching Euler loop (jitted scan)
+  tiled VAE decode -> waveform
+
+Sequence lengths are bucketed (latent frames rounded up to FRAME_BUCKET) so jit
+caches stay small; validity is carried by attention masks and trailing frames are
+sliced off before VAE decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu import sampler
+from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+from acestep_tpu.models import dit, qwen, vae
+
+FRAME_BUCKET = 256          # latent frames (~10.24 s at 25 Hz)
+LATENT_RATE = 25.0          # Hz (48000 / 1920)
+MAX_DURATION_S = 600.0      # reference clamp (constants.py:60-61)
+MIN_DURATION_S = 10.0
+
+
+def frames_for_duration(seconds: float) -> int:
+    seconds = min(max(seconds, MIN_DURATION_S), MAX_DURATION_S)
+    return int(round(seconds * LATENT_RATE))
+
+
+def bucket_frames(frames: int) -> int:
+    return int(math.ceil(frames / FRAME_BUCKET) * FRAME_BUCKET)
+
+
+# ---------------------------------------------------------------------------
+# condition packing ([lyric | timbre | style], valid-tokens-first per row;
+# acestep_ggml.cpp:1744-1801 stable partition)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    parts: Sequence[Tuple[jax.Array, jax.Array]],
+) -> Tuple[jax.Array, jax.Array]:
+    """Concatenate (hidden [B, L_i, H], mask [B, L_i]) parts along L, then
+    stable-partition each batch row so valid tokens come first."""
+    hidden = jnp.concatenate([h for h, _ in parts], axis=1)
+    mask = jnp.concatenate([m for _, m in parts], axis=1)
+    order = jnp.argsort(~mask.astype(bool), axis=1, stable=True)   # valid first
+    packed_h = jnp.take_along_axis(hidden, order[:, :, None], axis=1)
+    packed_m = jnp.take_along_axis(mask, order, axis=1)
+    return packed_h, packed_m
+
+
+# ---------------------------------------------------------------------------
+# request/result dataclasses (analog of inference.py GenerationParams/Result)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GenerationRequest:
+    """One batch of generation work, pre-tokenized (the native engine takes token
+    ids like the reference C++ CLI's token files; tokenization lives upstream)."""
+
+    duration_s: float = 30.0
+    style_token_ids: Optional[np.ndarray] = None      # [B, Ls] + mask
+    style_mask: Optional[np.ndarray] = None
+    lyric_token_ids: Optional[np.ndarray] = None      # [B, Ll]
+    lyric_mask: Optional[np.ndarray] = None
+    refer_latents: Optional[np.ndarray] = None        # [B, n_refer, Lr, 64]
+    refer_mask: Optional[np.ndarray] = None           # [B, n_refer]
+    # task control
+    task: str = "text2music"                          # text2music | repaint | cover
+    src_latents: Optional[np.ndarray] = None          # [B, T, 64] for repaint/cover
+    repaint_start_s: float = 0.0
+    repaint_end_s: float = -1.0                       # -1 => to end
+    audio_cover_strength: float = 1.0
+    # sampler control
+    seeds: Optional[Sequence[int]] = None
+    shift: float = 3.0
+    timesteps: Optional[Sequence[float]] = None
+    infer_method: str = "ode"
+    batch_size: int = 1
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    audio: np.ndarray                                  # [B, L, C] float32
+    latents: np.ndarray                                # [B, T, 64]
+    sample_rate: int
+    time_costs: Dict[str, float]
+    seeds: List[int]
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class AceStepEngine:
+    """Owns params + configs + jit caches for the DiT/VAE/text-encoder stack.
+
+    The silence latent (text2music src context) is computed once per engine and
+    broadcast per request (handler.py:727-734 loads it from the checkpoint;
+    the C++ runtime VAE-encodes zeros, acestep_ggml.cpp:1952-2040)."""
+
+    def __init__(
+        self,
+        dit_params: Dict[str, Any],
+        dit_cfg: DiTConfig,
+        vae_params: Dict[str, Any],
+        vae_cfg: VAEConfig,
+        text_params: Optional[Dict[str, Any]] = None,
+        text_cfg: Optional[QwenConfig] = None,
+        silence_latent: Optional[np.ndarray] = None,   # [1, T0, 64] tile-able
+    ):
+        self.dit_params = dit_params
+        self.dit_cfg = dit_cfg
+        self.vae_params = vae_params
+        self.vae_cfg = vae_cfg
+        self.text_params = text_params
+        self.text_cfg = text_cfg
+        self._vae_decode_jit = jax.jit(
+            lambda lat: vae.decode(self.vae_params, self.vae_cfg, lat)
+        )
+        self._text_forward_jit = None
+        if silence_latent is not None:
+            self._silence = jnp.asarray(silence_latent, jnp.float32)
+        else:
+            self._silence = None
+
+    # -- conditioning -------------------------------------------------------
+
+    def _silence_frames(self, t: int) -> jax.Array:
+        """[1, t, 64] silence src latents (tiled from the cached interior value)."""
+        if self._silence is None:
+            self._silence = vae.silence_latents(
+                self.vae_params, self.vae_cfg, n_frames=64, chunk_frames=64
+            )
+        s = self._silence
+        if s.shape[1] >= t:
+            return s[:, :t, :]
+        reps = int(math.ceil(t / s.shape[1]))
+        return jnp.tile(s, (1, reps, 1))[:, :t, :]
+
+    def encode_style(self, token_ids, mask) -> jax.Array:
+        """Style branch: Qwen3 encoder + text_projector -> [B, Ls, H]."""
+        if self.text_params is None:
+            raise ValueError("no text encoder loaded")
+        if self._text_forward_jit is None:
+            self._text_forward_jit = jax.jit(
+                lambda ids, m: qwen.forward(self.text_params, self.text_cfg, ids, m)
+            )
+        hs = self._text_forward_jit(
+            jnp.asarray(token_ids, jnp.int32), jnp.asarray(mask)
+        )
+        return dit.text_projector(self.dit_params, hs)
+
+    def encode_lyric(self, token_ids, mask) -> jax.Array:
+        """Lyric branch: raw Qwen embeddings -> DiT lyric encoder -> [B, Ll, H]."""
+        emb = qwen.embeddings_only(self.text_params, jnp.asarray(token_ids, jnp.int32))
+        return dit.lyric_encoder(
+            self.dit_params, self.dit_cfg, emb, jnp.asarray(mask)
+        )
+
+    def encode_timbre(self, refer_latents, refer_mask=None) -> Tuple[jax.Array, jax.Array]:
+        """refer_latents [B, n_refer, Lr, 64] -> (tokens [B, n_refer, H], mask)."""
+        b, n_refer, lr, c = refer_latents.shape
+        flat = jnp.asarray(refer_latents, jnp.float32).reshape(b * n_refer, lr, c)
+        toks = dit.timbre_encoder(self.dit_params, self.dit_cfg, flat)   # [B*n, 1, H]
+        toks = toks.reshape(b, n_refer, -1)
+        mask = (
+            jnp.asarray(refer_mask)
+            if refer_mask is not None
+            else jnp.ones((b, n_refer), jnp.int32)
+        )
+        return toks, mask
+
+    def build_condition(self, req: GenerationRequest, b: int) -> Tuple[jax.Array, jax.Array]:
+        """Pack [lyric | timbre | style] with valid-first ordering."""
+        h = self.dit_cfg.hidden_size
+        parts: List[Tuple[jax.Array, jax.Array]] = []
+        if req.lyric_token_ids is not None:
+            lm = req.lyric_mask if req.lyric_mask is not None else np.ones_like(req.lyric_token_ids)
+            parts.append((self.encode_lyric(req.lyric_token_ids, lm), jnp.asarray(lm)))
+        if req.refer_latents is not None:
+            toks, tmask = self.encode_timbre(req.refer_latents, req.refer_mask)
+            parts.append((toks, tmask))
+        if req.style_token_ids is not None:
+            sm = req.style_mask if req.style_mask is not None else np.ones_like(req.style_token_ids)
+            parts.append((self.encode_style(req.style_token_ids, sm), jnp.asarray(sm)))
+        if not parts:
+            raise ValueError("empty condition: need style, lyric, or timbre input")
+        return pack_sequences(parts)
+
+    # -- context latents ----------------------------------------------------
+
+    def build_context_latents(
+        self, req: GenerationRequest, b: int, t: int, t_valid: int
+    ) -> jax.Array:
+        """context = concat(src_latents, chunk_mask) along channels
+        (handler.py:2102-2208; chunk_mask 1 = regenerate here)."""
+        cfg = self.dit_cfg
+        audio_dim = cfg.audio_acoustic_hidden_dim
+        ctx_dim = cfg.context_dim
+
+        if req.task == "text2music" or req.src_latents is None:
+            src = jnp.broadcast_to(self._silence_frames(t), (b, t, audio_dim))
+            chunk = jnp.ones((b, t, ctx_dim - audio_dim), jnp.float32)
+        else:
+            src = jnp.asarray(req.src_latents, jnp.float32)
+            if src.shape[1] < t:
+                src = jnp.pad(src, ((0, 0), (0, t - src.shape[1]), (0, 0)))
+            src = src[:, :t, :]
+            if req.task == "repaint":
+                start = int(req.repaint_start_s * LATENT_RATE)
+                end = t_valid if req.repaint_end_s < 0 else int(req.repaint_end_s * LATENT_RATE)
+                frames = jnp.arange(t)
+                inside = (frames >= start) & (frames < min(end, t_valid))
+                chunk = jnp.broadcast_to(
+                    inside.astype(jnp.float32)[None, :, None],
+                    (b, t, ctx_dim - audio_dim),
+                )
+            else:  # cover: regenerate everything conditioned on src
+                chunk = jnp.ones((b, t, ctx_dim - audio_dim), jnp.float32)
+        return jnp.concatenate([src, chunk.astype(jnp.float32)], axis=-1)
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(self, req: GenerationRequest) -> GenerationResult:
+        t0 = time.perf_counter()
+        time_costs: Dict[str, float] = {}
+
+        b = req.batch_size
+        t_valid = frames_for_duration(req.duration_s)
+        t = bucket_frames(t_valid)
+        audio_dim = self.dit_cfg.audio_acoustic_hidden_dim
+
+        enc, enc_mask = self.build_condition(req, b)
+        if enc.shape[0] == 1 and b > 1:
+            enc = jnp.broadcast_to(enc, (b,) + enc.shape[1:])
+            enc_mask = jnp.broadcast_to(enc_mask, (b,) + enc_mask.shape[1:])
+        ctx = self.build_context_latents(req, b, t, t_valid)
+        time_costs["condition_time_cost"] = time.perf_counter() - t0
+
+        seeds = list(req.seeds) if req.seeds else list(range(b))
+        if len(seeds) < b:
+            seeds = (seeds * b)[:b]
+        noise = sampler.make_noise(seeds, (b, t, audio_dim))
+
+        attn_mask = None
+        use_attn_mask = t != t_valid
+        if use_attn_mask:
+            attn_mask = (jnp.arange(t)[None, :] < t_valid).astype(jnp.int32)
+            attn_mask = jnp.broadcast_to(attn_mask, (b, t))
+
+        schedule = sampler.get_timestep_schedule(req.shift, req.timesteps)
+
+        t1 = time.perf_counter()
+        latents = sampler.sample_latents(
+            self.dit_params, self.dit_cfg, noise, ctx, enc, enc_mask, schedule,
+            infer_method=req.infer_method,
+            sde_key=jax.random.key(seeds[0]),
+            attn_mask=attn_mask,
+            use_attn_mask=use_attn_mask,
+        )
+        latents.block_until_ready()
+        time_costs["diffusion_time_cost"] = time.perf_counter() - t1
+        time_costs["diffusion_per_step_time_cost"] = (
+            time_costs["diffusion_time_cost"] / len(schedule)
+        )
+
+        # NaN/Inf guard (handler.py:3598-3610)
+        latents = jnp.nan_to_num(latents, nan=0.0, posinf=0.0, neginf=0.0)
+        latents_valid = latents[:, :t_valid, :]
+
+        t2 = time.perf_counter()
+        audio = vae.tiled_decode(
+            self.vae_params, self.vae_cfg, latents_valid,
+            chunk_frames=128, overlap_frames=64,
+            decode_fn=self._vae_decode_jit,
+        )
+        audio = jax.block_until_ready(audio)
+        time_costs["vae_time_cost"] = time.perf_counter() - t2
+        time_costs["total_time_cost"] = time.perf_counter() - t0
+
+        return GenerationResult(
+            audio=np.asarray(audio, dtype=np.float32),
+            latents=np.asarray(latents_valid, dtype=np.float32),
+            sample_rate=self.vae_cfg.sampling_rate,
+            time_costs=time_costs,
+            seeds=seeds,
+        )
+
+
+def build_random_engine(
+    key: jax.Array = None,
+    dit_cfg: Optional[DiTConfig] = None,
+    vae_cfg: Optional[VAEConfig] = None,
+    text_cfg: Optional[QwenConfig] = None,
+    quant: Optional[str] = None,
+    dtype=jnp.bfloat16,
+) -> AceStepEngine:
+    """Random-weight engine for tests/benches (no public checkpoints in CI)."""
+    from acestep_tpu.quant import quantize_tree
+
+    key = key if key is not None else jax.random.key(0)
+    dit_cfg = dit_cfg or DiTConfig()
+    vae_cfg = vae_cfg or VAEConfig()
+    text_cfg = text_cfg or QwenConfig()
+    k1, k2, k3 = jax.random.split(key, 3)
+    dit_params = dit.init_params(k1, dit_cfg, dtype=dtype)
+    vae_params = vae.init_params(k2, vae_cfg)
+    text_params = qwen.init_params(k3, text_cfg, dtype=dtype)
+    if quant:
+        dit_params = quantize_tree(dit_params, quant)
+        text_params = quantize_tree(text_params, quant)
+    return AceStepEngine(
+        dit_params, dit_cfg, vae_params, vae_cfg, text_params, text_cfg
+    )

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: BASELINE.json configs[0] — DiT-only text2music, 10 s clip, Q8_0
+weights, 8 diffusion steps, batch=1 (style+lyric conditioning) + VAE decode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+Baseline: the reference GGML runtime's same staged pipeline at Q8_0 runs the
+10 s clip in 4.663 s infer (BASELINE.md, quant_eval_20260206_131422).
+vs_baseline = baseline_seconds / our_seconds  (>1 means faster than reference).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_Q8_10S_INFER_S = 4.663
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.pipeline import GenerationRequest, build_random_engine
+
+    quant = "q8_0"
+    duration_s = 10.0
+
+    t0 = time.perf_counter()
+    engine = build_random_engine(jax.random.key(0), quant=quant)
+    rng = np.random.default_rng(0)
+    req = GenerationRequest(
+        duration_s=duration_s,
+        style_token_ids=rng.integers(0, 150000, (1, 64)),
+        lyric_token_ids=rng.integers(0, 150000, (1, 256)),
+        seeds=[1],
+    )
+    build_s = time.perf_counter() - t0
+
+    # warmup (compile)
+    res = engine.generate(req)
+    warm_s = res.time_costs["total_time_cost"]
+
+    # timed runs
+    runs = []
+    for i in range(3):
+        req.seeds = [i + 2]
+        res = engine.generate(req)
+        runs.append(res.time_costs["total_time_cost"])
+    value = float(np.median(runs))
+
+    result = {
+        "metric": "seconds per 10s clip, text2music E2E (text-enc + 8-step DiT + VAE), Q8_0, batch=1",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_Q8_10S_INFER_S / value, 3),
+    }
+    detail = {
+        "backend": jax.default_backend(),
+        "build_s": round(build_s, 2),
+        "compile_run_s": round(warm_s, 2),
+        "runs_s": [round(r, 4) for r in runs],
+        "diffusion_s": round(res.time_costs["diffusion_time_cost"], 4),
+        "vae_s": round(res.time_costs["vae_time_cost"], 4),
+        "condition_s": round(res.time_costs["condition_time_cost"], 4),
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
