@@ -3,25 +3,26 @@
 Replaces the reference's ggml quantized vec_dot kernels (CPU/Metal) with MXU
 kernels that dequantize weight tiles in VMEM and never materialize the bf16
 weight matrix in HBM — at batch-1 DiT shapes the matmuls are HBM-bandwidth
-bound, so streaming 4.5-8.5 bits/weight instead of 16 is the main speedup
+bound, so streaming ~4.5-8.5 bits/weight instead of 16 is the main speedup
 (BASELINE.md north star).
 
-Layout (see acestep_tpu.quant.formats):
-  x       [M, K]        bf16 activations
-  q8_0    data int8 [K, N], scales f16 [K/32, N]
-  q4_0    data uint8 [K/2, N] (even k low nibble), scales f16 [K/32, N]
-  q4_k    data uint8 [K/2, N], sub_scales/sub_mins uint8 [K/32, N],
-          super_scales/super_mins f16 [K/256, N]
-
-Precision: int8/int4 values are exactly representable in bf16; dequantized
-weights are bf16 (8-bit mantissa ~ half an lsb of the 8-bit grid), accumulation
-is f32 — matching the quality the XLA dequant path delivers (parity-tested).
+Layout notes (see acestep_tpu.quant.formats):
+  * 4-bit data uses the fold-256 packing: a 256-row K-group's rows r / r+128
+    share a byte (low/high nibble).  The kernel K-tile is exactly 256 for 4-bit
+    formats, so unpack is ONE pltpu.repeat (tile-repeat along sublanes) plus a
+    row-index select — the TPU has no cheap sublane interleave, and Mosaic on
+    this backend rejects concatenate inside kernels.
+  * fp16 scale loads are rejected by this backend's Mosaic, so scales are
+    converted to f32 outside the kernel (XLA hoists the conversion out of the
+    sampler's scan; adds ~0.25-1 bpw of stream traffic).
+  * int4/int8 values are exact in bf16; dequant math runs in f32 and rounds to
+    bf16 once (bit-matching the XLA dequant path); accumulation is f32.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,17 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from acestep_tpu.quant import BLOCK, SUPER, QuantTensor, dequantize
+from acestep_tpu.quant.formats import FOLD
 
 DEFAULT_BM = 256
 DEFAULT_BN = 256
-DEFAULT_BK = 512
-
-
-def _pick_bk(k: int) -> int:
-    for bk in (512, 256):
-        if k % bk == 0:
-            return bk
-    return k  # single K block (k is always a multiple of 32 for quant tensors)
+Q8_BK = 512
+Q4_BK = FOLD  # 256: one fold group per K-tile
 
 
 def _pick_bn(n: int) -> Optional[int]:
@@ -52,22 +48,21 @@ def _pick_bn(n: int) -> Optional[int]:
 def _pick_bm(m: int) -> int:
     if m >= DEFAULT_BM:
         return DEFAULT_BM
-    # round up to the bf16 sublane tile
     return max(16, ((m + 15) // 16) * 16)
 
 
-def _expand_scales(s, reps: int):
-    """[B, N] -> [B*reps, N] with each row repeated (block scale broadcast)."""
+def _expand_rows(s, reps: int):
+    """[B, N] -> [B*reps, N], each row repeated `reps` times (block broadcast)."""
     b, n = s.shape
     return jnp.broadcast_to(s[:, None, :], (b, reps, n)).reshape(b * reps, n)
 
 
-def _unpack_nibbles_tile(packed, bk: int):
-    """uint8 [BK/2, BN] -> int32 [BK, BN]; even k from low nibble (format spec)."""
-    lo = (packed & 0xF).astype(jnp.int32)
-    hi = (packed >> 4).astype(jnp.int32)
-    half, n = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(bk, n)
+def _unfold_nibbles(packed, bk: int):
+    """uint8 [bk/2, BN] (one fold group) -> int32 [bk, BN] in original row order."""
+    rep = pltpu.repeat(packed, 2, axis=0)                      # [bk, BN] tile-repeat
+    row = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0)
+    r32 = rep.astype(jnp.int32)
+    return jnp.where(row < bk // 2, r32 & 0xF, r32 >> 4)
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +78,7 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
 
     # dequant in f32, single rounding to bf16 (bit-matches the XLA dequant path)
     w = w_ref[:].astype(jnp.float32)
-    s = s_ref[:].astype(jnp.float32)
-    wd = (w * _expand_scales(s, BLOCK)).astype(jnp.bfloat16)
+    wd = (w * _expand_rows(s_ref[:], BLOCK)).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -99,10 +93,8 @@ def _q4_0_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bk = w_ref.shape[0] * 2
-    q = _unpack_nibbles_tile(w_ref[:], bk) - 8
-    s = s_ref[:].astype(jnp.float32)
-    wd = (q.astype(jnp.float32) * _expand_scales(s, BLOCK)).astype(jnp.bfloat16)
+    q = _unfold_nibbles(w_ref[:], Q4_BK) - 8
+    wd = (q.astype(jnp.float32) * _expand_rows(s_ref[:], BLOCK)).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -110,21 +102,16 @@ def _q4_0_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q4_k_kernel(x_ref, w_ref, ls_ref, lm_ref, dsup_ref, msup_ref, o_ref, acc_ref):
+def _q4_k_kernel(x_ref, w_ref, d_ref, m_ref, o_ref, acc_ref):
+    """q4_k with pre-expanded effective scales d_eff/m_eff [BK/32, BN] f32."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    bk = w_ref.shape[0] * 2
-    q = _unpack_nibbles_tile(w_ref[:], bk).astype(jnp.float32)
-    sub_per_super = SUPER // BLOCK
-    d_eff = _expand_scales(dsup_ref[:].astype(jnp.float32), sub_per_super) \
-        * ls_ref[:].astype(jnp.float32)                     # [BK/32, BN]
-    m_eff = _expand_scales(msup_ref[:].astype(jnp.float32), sub_per_super) \
-        * lm_ref[:].astype(jnp.float32)
-    wd = (q * _expand_scales(d_eff, BLOCK) - _expand_scales(m_eff, BLOCK)).astype(jnp.bfloat16)
+    q = _unfold_nibbles(w_ref[:], Q4_BK).astype(jnp.float32)
+    wd = (q * _expand_rows(d_ref[:], BLOCK) - _expand_rows(m_ref[:], BLOCK)).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -145,8 +132,10 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     k_dim, n = qt.shape
     m = x.shape[0]
     bn = _pick_bn(n)
-    bk = _pick_bk(k_dim)
-    if bn is None or k_dim % BLOCK or (qt.fmt == "q4_k" and bk % SUPER):
+    bk = Q8_BK if qt.fmt == "q8_0" else Q4_BK
+    if bk > k_dim or k_dim % bk:
+        bk = k_dim if (qt.fmt == "q8_0" and k_dim % BLOCK == 0) else None
+    if bn is None or bk is None:
         wd = dequantize(qt, dtype=jnp.bfloat16)
         return jnp.dot(x.astype(jnp.bfloat16), wd,
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -163,6 +152,7 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     x_spec = pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM)
     scale_rows = bk // BLOCK
+    s_spec = pl.BlockSpec((scale_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
 
     common = dict(
         out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
@@ -181,43 +171,46 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     )
 
     if qt.fmt == "q8_0":
+        scales = qt.scales.astype(jnp.float32)   # Mosaic here rejects f16 loads
         out = pl.pallas_call(
             _q8_kernel,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((scale_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[x_spec,
+                      pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      s_spec],
             **common,
-        )(x, qt.data, qt.scales)
+        )(x, qt.data, scales)
     elif qt.fmt == "q4_0":
+        scales = qt.scales.astype(jnp.float32)
         out = pl.pallas_call(
             _q4_0_kernel,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((scale_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[x_spec,
+                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      s_spec],
             **common,
-        )(x, qt.data, qt.scales)
+        )(x, qt.data, scales)
     elif qt.fmt == "q4_k":
-        super_rows = bk // SUPER
+        # effective per-32-block scale/min, computed outside (hoisted by XLA)
+        sub_per_super = SUPER // BLOCK
+        d_eff = _expand_rows_host(qt.super_scales.astype(jnp.float32), sub_per_super) \
+            * qt.sub_scales.astype(jnp.float32)
+        m_eff = _expand_rows_host(qt.super_mins.astype(jnp.float32), sub_per_super) \
+            * qt.sub_mins.astype(jnp.float32)
         out = pl.pallas_call(
             _q4_k_kernel,
-            in_specs=[
-                x_spec,
-                pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((scale_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((scale_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((super_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((super_rows, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            ],
+            in_specs=[x_spec,
+                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      s_spec, s_spec],
             **common,
-        )(x, qt.data, qt.sub_scales, qt.sub_mins, qt.super_scales, qt.super_mins)
+        )(x, qt.data, d_eff, m_eff)
     else:
         raise ValueError(f"unsupported quant format: {qt.fmt}")
 
     return out[:m] if m_pad else out
+
+
+def _expand_rows_host(s: jax.Array, reps: int) -> jax.Array:
+    b, n = s.shape
+    return jnp.broadcast_to(s[:, None, :], (b, reps, n)).reshape(b * reps, n)
 
 
 def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax.Array:

@@ -94,23 +94,30 @@ def _check_2d(w: np.ndarray) -> Tuple[int, int]:
     return w.shape
 
 
+FOLD = 256  # 4-bit fold group: rows [g*256+r] in low nibble, [g*256+128+r] in high
+
 def _pack_nibbles(q: np.ndarray) -> np.ndarray:
-    """Pack unsigned 4-bit values [K, N] -> uint8 [K//2, N] (even k low nibble)."""
+    """Pack unsigned 4-bit values [K, N] -> uint8 [K//2, N] with fold-256 layout:
+    packed[g*128 + r] = q[g*256 + r] | q[g*256 + 128 + r] << 4.
+
+    This layout lets the Pallas kernel unpack a 256-row K-tile with a single
+    tile-repeat + row-parity select (no sublane interleave, which the TPU
+    vector unit cannot do cheaply)."""
     k, n = q.shape
-    q = q.astype(np.uint8)
-    lo = q[0::2, :]
-    hi = q[1::2, :]
-    return (lo | (hi << 4)).astype(np.uint8)
+    assert k % FOLD == 0, f"4-bit packing requires K % {FOLD} == 0, got {k}"
+    q = q.astype(np.uint8).reshape(k // FOLD, FOLD, n)
+    lo = q[:, : FOLD // 2, :]
+    hi = q[:, FOLD // 2:, :]
+    return (lo | (hi << 4)).reshape(k // 2, n).astype(np.uint8)
 
 
 def _unpack_nibbles_np(packed: np.ndarray) -> np.ndarray:
     k2, n = packed.shape
-    lo = packed & 0xF
-    hi = packed >> 4
-    out = np.empty((k2 * 2, n), dtype=np.uint8)
-    out[0::2] = lo
-    out[1::2] = hi
-    return out
+    k = k2 * 2
+    p = packed.reshape(k // FOLD, FOLD // 2, n)
+    lo = p & 0xF
+    hi = p >> 4
+    return np.concatenate([lo, hi], axis=1).reshape(k, n).astype(np.uint8)
 
 
 def quantize_q8_0_np(w: np.ndarray) -> QuantTensor:
@@ -135,8 +142,8 @@ def quantize_q8_0_np(w: np.ndarray) -> QuantTensor:
 def quantize_q4_0_np(w: np.ndarray) -> QuantTensor:
     """Reference formula: d = signed_absmax / -8, q = clip(x/d + 8.5, 0, 15)."""
     k, n = _check_2d(w)
-    if k % BLOCK:
-        raise ValueError(f"q4_0 requires K % {BLOCK} == 0, got K={k}")
+    if k % FOLD:
+        raise ValueError(f"q4_0 requires K % {FOLD} == 0 (fold packing), got K={k}")
     w = w.astype(np.float32)
     blocks = w.reshape(k // BLOCK, BLOCK, n)
     idx = np.abs(blocks).argmax(axis=1)                     # [K/32, N]
@@ -219,10 +226,12 @@ def supported_format_for(k: int, fmt: str) -> str:
     fallback for tensors whose row size is not a multiple of the block size)."""
     if fmt in ("f32", "bf16", "f16"):
         return fmt
-    if fmt == "q4_k" and k % SUPER == 0:
-        return "q4_k"
+    if fmt in ("q4_k", "q4_0"):
+        if k % FOLD == 0:          # 4-bit fold packing needs K % 256 == 0
+            return fmt
+        fmt = "q8_0"
     if k % BLOCK == 0:
-        return "q8_0" if fmt == "q4_k" else fmt
+        return fmt
     return "bf16"
 
 
@@ -231,10 +240,12 @@ def supported_format_for(k: int, fmt: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _unpack_nibbles(packed: jax.Array, k: int) -> jax.Array:
-    """uint8 [K//2, N] -> uint8-valued int32 [K, N] (even k from low nibble)."""
-    lo = packed & 0xF
-    hi = packed >> 4
-    return jnp.stack([lo, hi], axis=1).reshape(k, packed.shape[1])
+    """uint8 [K//2, N] -> [K, N] (fold-256 layout, see _pack_nibbles)."""
+    n = packed.shape[1]
+    p = packed.reshape(k // FOLD, FOLD // 2, n)
+    lo = p & 0xF
+    hi = p >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
 
 
 def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:

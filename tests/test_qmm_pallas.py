@@ -1,0 +1,81 @@
+"""Pallas fused dequant-matmul kernel tests (interpret mode on CPU).
+
+On-hardware parity is additionally exercised by bench.py on the real chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acestep_tpu.quant import dequantize, quantize_np
+from acestep_tpu.ops.pallas.qmm import qmm_pallas, qmm_pallas_nd
+
+
+def _pair(fmt, k, n, m, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    return x, quantize_np(w, fmt)
+
+
+def _xla_ref(x, qt):
+    return np.asarray(
+        jnp.dot(x, dequantize(qt, jnp.bfloat16), preferred_element_type=jnp.float32)
+        .astype(jnp.bfloat16), dtype=np.float32)
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("m,k,n", [(64, 512, 256), (100, 1024, 384 * 0 + 256), (7, 512, 128)])
+def test_kernel_matches_xla_path(fmt, m, k, n):
+    x, qt = _pair(fmt, k, n, m)
+    out = np.asarray(qmm_pallas(x, qt, interpret=True), dtype=np.float32)
+    ref = _xla_ref(x, qt)
+    # identical math modulo f32 accumulation order; compare in units of ref scale
+    denom = np.abs(ref).mean() + 1e-9
+    assert np.abs(out - ref).max() / denom < 0.02
+    assert (out == ref).mean() > 0.98
+
+
+def test_fallback_small_n():
+    # N=64 is tile-unfriendly -> XLA fallback path must be used and still be right
+    x, qt = _pair("q8_0", 512, 64, 16)
+    out = np.asarray(qmm_pallas(x, qt, interpret=True), dtype=np.float32)
+    np.testing.assert_allclose(out, _xla_ref(x, qt), atol=1e-2)
+
+
+def test_fallback_small_k_q8():
+    # K=64 < BK: q8_0 single K-block path
+    x, qt = _pair("q8_0", 64, 256, 16)
+    out = np.asarray(qmm_pallas(x, qt, interpret=True), dtype=np.float32)
+    denom = np.abs(_xla_ref(x, qt)).mean() + 1e-9
+    assert np.abs(out - _xla_ref(x, qt)).max() / denom < 0.02
+
+
+def test_nd_wrapper():
+    x, qt = _pair("q4_0", 512, 256, 0)
+    x3 = jnp.asarray(np.random.default_rng(1).standard_normal((2, 5, 512)), jnp.bfloat16)
+    out = qmm_pallas_nd(x3, qt, interpret=True)
+    assert out.shape == (2, 5, 256)
+    flat = qmm_pallas(x3.reshape(10, 512), qt, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out).reshape(10, 256), np.asarray(flat))
+
+
+def test_linear_dispatch_uses_pallas(monkeypatch):
+    """ops.linear with backend='pallas' must route through the kernel."""
+    from acestep_tpu.ops import qlinear
+
+    called = {}
+    import acestep_tpu.ops.pallas.qmm as qmm_mod
+
+    real = qmm_mod.qmm_pallas_nd
+
+    def spy(x, qt, **kw):
+        called["yes"] = True
+        return real(x, qt, interpret=True)
+
+    monkeypatch.setattr(qmm_mod, "qmm_pallas_nd", spy)
+    x, qt = _pair("q8_0", 512, 256, 8)
+    y = qlinear.linear(x, qt, backend="pallas")
+    assert called.get("yes")
+    assert y.shape == (8, 256)

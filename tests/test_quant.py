@@ -57,7 +57,7 @@ class TestQ80:
 class TestQ40:
     def test_signed_absmax_scale(self):
         # reference picks the SIGNED max-|x| value: d = signed_max / -8
-        w = np.zeros((BLOCK, 1), dtype=np.float32)
+        w = np.zeros((SUPER, 1), dtype=np.float32)
         w[0, 0] = -2.0  # absmax is negative -> d = +0.25
         w[1, 0] = 1.0
         qt = quantize_np(w, "q4_0")
@@ -76,12 +76,11 @@ class TestQ40:
         assert qt.bits_per_weight == pytest.approx(4.5, abs=0.01)
 
     def test_nibble_packing_order(self):
-        w = np.zeros((BLOCK, 1), dtype=np.float32)
-        w[:, 0] = np.linspace(-1, 1, BLOCK)
+        # a distinct per-row staircase must survive the fold-256 pack/unpack
+        w = (np.arange(SUPER, dtype=np.float32)[:, None] % 16 - 8) / 8.0
         qt = quantize_np(w, "q4_0")
         rec = dequantize_np(qt)
-        # monotone input must stay monotone after roundtrip (catches lo/hi swaps)
-        assert np.all(np.diff(rec[:, 0]) >= 0)
+        np.testing.assert_allclose(rec, w, atol=0.13)
 
 
 class TestQ4K:
@@ -131,4 +130,5 @@ class TestInfra:
         assert supported_format_for(384, "q4_k") == "q8_0"   # 384 % 256 != 0
         assert supported_format_for(2048, "q4_k") == "q4_k"
         assert supported_format_for(33, "q8_0") == "bf16"
-        assert supported_format_for(64, "q4_0") == "q4_0"
+        assert supported_format_for(64, "q4_0") == "q8_0"   # fold packing needs K % 256
+        assert supported_format_for(512, "q4_0") == "q4_0"
