@@ -1,0 +1,103 @@
+"""INT8 KV cache for the LM planner (BASELINE.json north star: INT8/FP8 KV).
+
+Layout is TPU-friendly dense + length-bucketed (the reference's nano-vllm uses
+256-token paged blocks on GPU, block_manager.py:36-136; TPU prefers static dense
+buffers — bucketing replaces paging, prefix reuse comes later).
+
+K/V are stored per (layer, batch, kv_head, position) as int8 with a per-vector
+f32 scale: q = round(x / s), s = amax/127.  Dequantized lazily in attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale", "length"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KVCache:
+    """k/v: int8 [L, B, H_kv, T_max, D]; scales: f32 [L, B, H_kv, T_max];
+    length: int32 [B] (valid positions per sequence)."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array
+    v_scale: jax.Array
+    length: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+def init_cache(
+    n_layers: int, batch: int, n_kv: int, max_len: int, head_dim: int
+) -> KVCache:
+    return KVCache(
+        k=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), jnp.int8),
+        v=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), jnp.int8),
+        k_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
+        v_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[..., D] -> (int8 values, f32 scale over last dim)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = amax / 127.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
+
+
+def write_prompt(
+    cache: KVCache, layer: int, k: jax.Array, v: jax.Array, lengths: jax.Array
+) -> KVCache:
+    """Write prefill K/V [B, H_kv, T_prompt, D] at positions [0, T_prompt)."""
+    t = k.shape[2]
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    new_k = cache.k.at[layer, :, :, :t, :].set(kq)
+    new_v = cache.v.at[layer, :, :, :t, :].set(vq)
+    new_ks = cache.k_scale.at[layer, :, :, :t].set(ks)
+    new_vs = cache.v_scale.at[layer, :, :, :t].set(vs)
+    return KVCache(new_k, new_v, new_ks, new_vs, lengths)
+
+
+def append_token(
+    cache: KVCache, layer: int, k: jax.Array, v: jax.Array
+) -> KVCache:
+    """Append one position of K/V [B, H_kv, 1, D] at each sequence's length."""
+    b = k.shape[0]
+    kq, ks = quantize_kv(k[:, :, 0, :])      # [B, H, D], [B, H]
+    vq, vs = quantize_kv(v[:, :, 0, :])
+    bidx = jnp.arange(b)
+    pos = cache.length
+    new_k = cache.k.at[layer, bidx, :, pos, :].set(kq)
+    new_v = cache.v.at[layer, bidx, :, pos, :].set(vq)
+    new_ks = cache.k_scale.at[layer, bidx, :, pos].set(ks)
+    new_vs = cache.v_scale.at[layer, bidx, :, pos].set(vs)
+    return KVCache(new_k, new_v, new_ks, new_vs, cache.length)
+
+
+def advance(cache: KVCache, active: jax.Array) -> KVCache:
+    """Bump lengths for active (non-finished) sequences."""
+    return KVCache(
+        cache.k, cache.v, cache.k_scale, cache.v_scale,
+        cache.length + active.astype(jnp.int32),
+    )

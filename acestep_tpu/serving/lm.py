@@ -1,0 +1,279 @@
+"""LM planner serving: batched prefill + on-device autoregressive decode.
+
+TPU-native replacement for the reference's nano-vllm engine (paged KV, CUDA
+graphs — acestep/third_parts/nano-vllm/): here the whole decode loop is ONE
+jitted ``lax.scan`` over a dense int8 KV cache, so a generation call is a single
+device dispatch (no per-token host round-trips; the tunnel/host latency that
+dominates per-step dispatch makes this mandatory on TPU).
+
+Supports the reference's generation semantics (llm_inference.py:1061+):
+  * temperature / top-k / top-p sampling, per-call seed;
+  * stop-token sets (phase 1 stops at ``</think>``);
+  * codes phase: restrict sampling to the audio-code token range and BLOCK EOS
+    until ``min_tokens``, then FORCE EOS at ``forced_eos_at``
+    (constrained_logits_processor.py:155-156, :1606-1628);
+  * classifier-free guidance with a paired uncond batch
+    (llm_inference.py:2352; scheduler co-schedules pairs, scheduler.py:47-75).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import QwenConfig
+from acestep_tpu.models import qwen
+from acestep_tpu.ops import apply_rope, attention, linear, make_attention_mask, rms_norm, rope_cos_sin
+from acestep_tpu.serving import kv_cache as kvc
+from acestep_tpu.serving.kv_cache import KVCache
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# model pieces with cache
+# ---------------------------------------------------------------------------
+
+def _rope_at(positions: jax.Array, head_dim: int, base: float):
+    """positions [B] -> cos/sin [B, 1, head_dim] (for single-token decode)."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb)[:, None, :], jnp.sin(emb)[:, None, :]
+
+
+def prefill(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    token_ids: jax.Array,          # [B, T] right-padded
+    lengths: jax.Array,            # [B]
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Full causal forward over the prompt; fills the cache; returns logits at the
+    last valid position of each sequence [B, vocab]."""
+    b, t = token_ids.shape
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    x = params["embed_tokens"][token_ids]
+
+    positions = jnp.arange(t)
+    cos, sin = rope_cos_sin(positions, hd, base=cfg.rope_theta)
+    valid = (positions[None, :] < lengths[:, None]).astype(jnp.int32)
+    mask = make_attention_mask(t, t, kv_valid=valid, causal=True)
+
+    for li, p in enumerate(params["layers"]):
+        xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t, nh, hd)
+        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t, nkv, hd)
+        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, t, nkv, hd)
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, k, cos, sin)
+        cache = kvc.write_prompt(cache, li, k, v, lengths)
+        attn = attention(q, k, v, mask=mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+        x = x + linear(attn, p["o_proj"]["kernel"])
+        hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        x = x + qwen.mlp_block(p, hn)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    last = jnp.take_along_axis(
+        x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0, :]
+    logits = qwen.lm_logits(params, cfg, last[:, None, :])[:, 0, :]
+    return logits.astype(jnp.float32), cache
+
+
+def decode_step(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    cache: KVCache,
+    token_ids: jax.Array,          # [B] current input tokens
+) -> Tuple[jax.Array, KVCache]:
+    """One decode position at each sequence's current length -> logits [B, vocab]."""
+    b = token_ids.shape[0]
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    t_max = cache.max_len
+    x = params["embed_tokens"][token_ids][:, None, :]     # [B, 1, H]
+    cos, sin = _rope_at(cache.length, hd, cfg.rope_theta)
+
+    pos_ids = jnp.arange(t_max)
+    # new token sits AT position `length`; it may attend to [0, length]
+    attn_mask = jnp.where(
+        pos_ids[None, :] <= cache.length[:, None], 0.0, NEG_INF
+    ).astype(jnp.float32)[:, None, None, :]                # [B, 1, 1, T_max]
+
+    for li, p in enumerate(params["layers"]):
+        xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, 1, nh, hd)
+        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, 1, nkv, hd)
+        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, 1, nkv, hd)
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, k, cos[:, None], sin[:, None])
+        cache = kvc.append_token(cache, li, k, v)
+        k_all = kvc.dequantize_kv(cache.k[li], cache.k_scale[li])   # [B, Hkv, T, D]
+        v_all = kvc.dequantize_kv(cache.v[li], cache.v_scale[li])
+        attn = attention(q, k_all, v_all, mask=attn_mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+        x = x + linear(attn, p["o_proj"]["kernel"])
+        hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        x = x + qwen.mlp_block(p, hn)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    logits = qwen.lm_logits(params, cfg, x)[:, 0, :]
+    return logits.astype(jnp.float32), cache
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def sample_logits(
+    key: jax.Array,
+    logits: jax.Array,              # [B, V] f32
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (always keep top-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, NEG_INF, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# generation (single dispatch, lax.scan)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.85
+    top_k: int = 0
+    top_p: float = 0.95
+    max_new_tokens: int = 256
+    stop_tokens: Tuple[int, ...] = ()
+    # constrained codes phase
+    allowed_range: Optional[Tuple[int, int]] = None   # [lo, hi) inclusive-exclusive
+    eos_token: Optional[int] = None
+    min_tokens: int = 0               # EOS blocked before this many new tokens
+    forced_eos_at: Optional[int] = None  # force EOS exactly at this count
+    cfg_scale: float = 1.0            # >1 enables paired-uncond guidance
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+def generate(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    prompt_ids: jax.Array,            # [B, T] right-padded int32
+    prompt_lengths: jax.Array,        # [B]
+    key: jax.Array,
+    sp: SamplingParams,
+    uncond_prompt_ids: Optional[jax.Array] = None,     # [B, T2] for CFG
+    uncond_prompt_lengths: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Generate up to max_new_tokens for each sequence; returns
+    (tokens [B, max_new], n_generated [B]).  One device dispatch."""
+    b, t_prompt = prompt_ids.shape
+    max_len = t_prompt + sp.max_new_tokens + 1
+    n_layers = cfg.num_hidden_layers
+    use_cfg = sp.cfg_scale != 1.0 and uncond_prompt_ids is not None
+
+    cache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    logits, cache = prefill(params, cfg, prompt_ids, prompt_lengths, cache)
+
+    if use_cfg:
+        u_max = uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1
+        ucache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, u_max, cfg.head_dim)
+        ulogits, ucache = prefill(params, cfg, uncond_prompt_ids, uncond_prompt_lengths, ucache)
+        logits = ulogits + sp.cfg_scale * (logits - ulogits)
+    else:
+        ucache = None
+
+    vocab = logits.shape[-1]
+    vocab_ids = jnp.arange(vocab)
+    range_mask = None
+    if sp.allowed_range is not None:
+        lo, hi = sp.allowed_range
+        range_mask = (vocab_ids >= lo) & (vocab_ids < hi)
+        if sp.eos_token is not None:
+            range_mask = range_mask | (vocab_ids == sp.eos_token)
+    stop_set = jnp.asarray(sp.stop_tokens, jnp.int32) if sp.stop_tokens else None
+
+    def constrain(logits, step):
+        if range_mask is not None:
+            logits = jnp.where(range_mask[None, :], logits, NEG_INF)
+        if sp.eos_token is not None:
+            if sp.min_tokens > 0:
+                logits = jnp.where(
+                    (step < sp.min_tokens) & (vocab_ids[None, :] == sp.eos_token),
+                    NEG_INF, logits,
+                )
+            if sp.forced_eos_at is not None:
+                force = step >= sp.forced_eos_at
+                logits = jnp.where(
+                    force & (vocab_ids[None, :] != sp.eos_token), NEG_INF, logits
+                )
+        return logits
+
+    def is_stop(tok):
+        s = jnp.zeros_like(tok, dtype=bool)
+        if stop_set is not None:
+            s = s | jnp.any(tok[:, None] == stop_set[None, :], axis=-1)
+        if sp.eos_token is not None:
+            s = s | (tok == sp.eos_token)
+        return s
+
+    k0, kloop = jax.random.split(key)
+    first_logits = constrain(logits, 0)
+    first_tok = sample_logits(k0, first_logits, sp.temperature, sp.top_k, sp.top_p)
+    finished0 = is_stop(first_tok)
+
+    # scan carry: (cache, ucache, cur_tok, finished, step)
+    def scan_body(carry, k):
+        cache, ucache, cur, finished, step = carry
+        logits, cache2 = decode_step(params, cfg, cache, cur)
+        cache2 = kvc.advance(cache2, jnp.ones((b,), bool))
+        if use_cfg:
+            ulog, ucache2 = decode_step(params, cfg, ucache, cur)
+            ucache2 = kvc.advance(ucache2, jnp.ones((b,), bool))
+            logits = ulog + sp.cfg_scale * (logits - ulog)
+        else:
+            ucache2 = ucache
+        logits = constrain(logits, step + 1)
+        nxt = sample_logits(k, logits, sp.temperature, sp.top_k, sp.top_p)
+        nxt = jnp.where(finished, cur, nxt)     # frozen once finished
+        new_finished = finished | is_stop(nxt)
+        out_tok = jnp.where(finished, -1, nxt)
+        return (cache2, ucache2, nxt, new_finished, step + 1), out_tok
+
+    keys = jax.random.split(kloop, sp.max_new_tokens - 1)
+    init = (cache, ucache, first_tok, finished0, jnp.int32(0))
+    (_, _, _, finished, _), rest = jax.lax.scan(scan_body, init, keys)
+
+    tokens = jnp.concatenate([first_tok[:, None], rest.T], axis=1)  # [B, max_new]
+    # n_generated = index of first stop + 1, or max_new
+    stops = jnp.concatenate(
+        [is_stop(first_tok)[:, None],
+         (rest.T == -1) | is_stop(rest.T)], axis=1
+    )
+    any_stop = jnp.any(stops, axis=1)
+    first_stop = jnp.argmax(stops, axis=1)
+    n_gen = jnp.where(any_stop, first_stop + 1, sp.max_new_tokens)
+    return tokens, n_gen.astype(jnp.int32)

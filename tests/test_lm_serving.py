@@ -1,0 +1,119 @@
+"""LM serving tests: int8 KV-cache decode vs full forward, constrained decoding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acestep_tpu.config import QwenConfig
+from acestep_tpu.models import qwen
+from acestep_tpu.serving import SamplingParams, generate
+from acestep_tpu.serving import kv_cache as kvc
+from acestep_tpu.serving import lm
+
+TINY = QwenConfig(
+    vocab_size=128, hidden_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+    head_dim=16,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return qwen.init_params(jax.random.key(0), TINY, dtype=jnp.float32, scale=0.1)
+
+
+class TestKVCache:
+    def test_quantize_roundtrip(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 16)), jnp.float32)
+        q, s = kvc.quantize_kv(x)
+        back = kvc.dequantize_kv(q, s, jnp.float32)
+        err = np.abs(np.asarray(back) - np.asarray(x)).max()
+        amax = float(jnp.abs(x).max())
+        assert err <= amax / 127.0 + 1e-6
+
+    def test_append_positions(self):
+        cache = kvc.init_cache(1, 2, 2, 8, 4)
+        cache = kvc.KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale,
+                            jnp.asarray([2, 0], jnp.int32))
+        k = jnp.ones((2, 2, 1, 4), jnp.float32)
+        cache = kvc.append_token(cache, 0, k, k)
+        kq = np.asarray(cache.k[0])
+        assert kq[0, 0, 2].any() and not kq[0, 0, 0].any()   # seq0 wrote at pos 2
+        assert kq[1, 0, 0].any() and not kq[1, 0, 1].any()   # seq1 wrote at pos 0
+
+
+class TestDecodeParity:
+    def test_cached_greedy_matches_full_forward(self, params):
+        """Greedy decode via the int8 KV cache must produce the same tokens as
+        re-running the full causal forward each step (the correctness anchor for
+        cache layout, per-seq RoPE positions, and masking)."""
+        rng = np.random.default_rng(3)
+        b, t0, n_new = 2, 7, 6
+        prompt = rng.integers(0, TINY.vocab_size, (b, t0)).astype(np.int32)
+        lengths = jnp.asarray([t0, t0 - 2], jnp.int32)
+        # right-pad seq1's prompt: positions beyond length are padding
+        sp = SamplingParams(temperature=0.0, max_new_tokens=n_new)
+        tokens, n_gen = generate(
+            params, TINY, jnp.asarray(prompt), lengths, jax.random.key(0), sp
+        )
+        tokens = np.asarray(tokens)
+
+        # reference: grow the (unpadded) sequence and run the full model
+        for bi in range(b):
+            seq = list(prompt[bi, : int(lengths[bi])])
+            for step in range(n_new):
+                ids = jnp.asarray([seq], jnp.int32)
+                h = qwen.forward(params, TINY, ids)
+                logits = qwen.lm_logits(params, TINY, h)[0, -1]
+                nxt = int(jnp.argmax(logits))
+                assert nxt == tokens[bi, step], (
+                    f"seq {bi} step {step}: cache={tokens[bi, step]} full={nxt}"
+                )
+                seq.append(nxt)
+
+
+class TestConstrained:
+    def test_allowed_range_and_forced_eos(self, params):
+        lo, hi, eos = 10, 50, 3
+        sp = SamplingParams(
+            temperature=0.8, max_new_tokens=12, allowed_range=(lo, hi),
+            eos_token=eos, min_tokens=8, forced_eos_at=8,
+        )
+        prompt = jnp.asarray([[1, 2, 4, 5]], jnp.int32)
+        tokens, n_gen = generate(
+            params, TINY, prompt, jnp.asarray([4], jnp.int32), jax.random.key(1), sp
+        )
+        tokens = np.asarray(tokens)[0]
+        n = int(n_gen[0])
+        assert n == 9                       # 8 codes then forced EOS
+        assert tokens[8] == eos
+        body = tokens[:8]
+        assert ((body >= lo) & (body < hi)).all()   # EOS blocked, range enforced
+
+    def test_stop_token(self, params):
+        # temperature 0 on random weights: find what greedy emits, then stop on it
+        sp0 = SamplingParams(temperature=0.0, max_new_tokens=4)
+        prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+        toks, _ = generate(params, TINY, prompt, jnp.asarray([3], jnp.int32),
+                           jax.random.key(0), sp0)
+        second = int(np.asarray(toks)[0, 1])
+        sp = SamplingParams(temperature=0.0, max_new_tokens=6, stop_tokens=(second,))
+        toks2, n_gen = generate(params, TINY, prompt, jnp.asarray([3], jnp.int32),
+                                jax.random.key(0), sp)
+        assert int(n_gen[0]) == 2
+        assert int(np.asarray(toks2)[0, 1]) == second
+        assert (np.asarray(toks2)[0, 2:] == -1).all()
+
+    def test_cfg_runs_and_differs(self, params):
+        prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+        uncond = jnp.asarray([[9, 9]], jnp.int32)
+        sp_plain = SamplingParams(temperature=0.0, max_new_tokens=5)
+        sp_cfg = SamplingParams(temperature=0.0, max_new_tokens=5, cfg_scale=3.0)
+        a, _ = generate(params, TINY, prompt, jnp.asarray([4], jnp.int32),
+                        jax.random.key(0), sp_plain)
+        c, _ = generate(params, TINY, prompt, jnp.asarray([4], jnp.int32),
+                        jax.random.key(0), sp_cfg, uncond, jnp.asarray([2], jnp.int32))
+        assert np.asarray(c).shape == (1, 5)
+        # guidance changes the trajectory for random weights (almost surely)
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
