@@ -87,8 +87,13 @@ class SafetensorsFile:
 
 
 def save_safetensors(
-    path: str, tensors: Dict[str, np.ndarray], metadata: Optional[Dict[str, str]] = None
+    path: str,
+    tensors: Dict[str, np.ndarray],
+    metadata: Optional[Dict[str, str]] = None,
+    dtype_map: Optional[Dict[str, str]] = None,
 ) -> None:
+    """``dtype_map`` overrides the declared dtype per tensor name (e.g. raw-bits
+    uint16 arrays that are really BF16)."""
     header: Dict[str, dict] = {}
     if metadata:
         header["__metadata__"] = metadata
@@ -96,7 +101,9 @@ def save_safetensors(
     blobs = []
     for name, arr in tensors.items():
         arr = np.ascontiguousarray(arr)
-        if arr.dtype == np.dtype("float16"):
+        if dtype_map and name in dtype_map:
+            st_dtype = dtype_map[name]
+        elif arr.dtype == np.dtype("float16"):
             st_dtype = "F16"
         elif arr.dtype in _NP_TO_ST:
             st_dtype = _NP_TO_ST[arr.dtype]
