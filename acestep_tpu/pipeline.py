@@ -310,7 +310,7 @@ def build_random_engine(
     dtype=jnp.bfloat16,
 ) -> AceStepEngine:
     """Random-weight engine for tests/benches (no public checkpoints in CI)."""
-    from acestep_tpu.quant import quantize_tree
+    from acestep_tpu.quant import quantize_tree_jax
 
     key = key if key is not None else jax.random.key(0)
     dit_cfg = dit_cfg or DiTConfig()
@@ -321,8 +321,8 @@ def build_random_engine(
     vae_params = vae.init_params(k2, vae_cfg)
     text_params = qwen.init_params(k3, text_cfg, dtype=dtype)
     if quant:
-        dit_params = quantize_tree(dit_params, quant)
-        text_params = quantize_tree(text_params, quant)
+        dit_params = quantize_tree_jax(dit_params, quant)
+        text_params = quantize_tree_jax(text_params, quant)
     return AceStepEngine(
         dit_params, dit_cfg, vae_params, vae_cfg, text_params, text_cfg
     )

@@ -31,3 +31,7 @@ __all__ = [
 from .convert import default_policy, quantize_tree, tree_nbytes  # noqa: E402
 
 __all__ += ["default_policy", "quantize_tree", "tree_nbytes"]
+
+from .jax_quant import quantize_jax, quantize_tree_jax  # noqa: E402
+
+__all__ += ["quantize_jax", "quantize_tree_jax"]
