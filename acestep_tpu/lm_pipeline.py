@@ -1,0 +1,439 @@
+"""LM planner pipeline: prompts, two-phase CoT -> codes generation, output parsing.
+
+TPU-native analog of acestep/llm_inference.py LLMHandler:
+  * prompt builders replicate the fine-tune chat format byte-for-byte
+    (llm_inference.py:1425-1573; Qwen chat template with the reference's
+    instruction strings);
+  * ``generate_with_stop_condition`` runs Phase 1 (CoT metadata, stop at
+    ``</think>``) then Phase 2 (5 Hz audio codes with duration-constrained EOS:
+    blocked until target_duration*5 codes, forced right after —
+    constrained_logits_processor.py:155-156, :1606-1628);
+  * ``parse_lm_output`` parses the YAML-ish CoT block (llm_inference.py:2473-2597
+    semantics: multi-line values, int coercion for bpm/duration).
+
+Tokenization is pluggable: any object with encode/decode + the special-token ids
+(HF tokenizers adapter provided; tests use a mock).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any, Dict, List, Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import QwenConfig
+from acestep_tpu.constants import (
+    AUDIO_CODEBOOK_SIZE,
+    DEFAULT_LM_INSTRUCTION,
+    DEFAULT_LM_INSPIRED_INSTRUCTION,
+    DEFAULT_LM_REWRITE_INSTRUCTION,
+    DEFAULT_LM_UNDERSTAND_INSTRUCTION,
+    DEFAULT_NEGATIVE_PROMPT,
+    LM_CODE_RATE,
+)
+from acestep_tpu.serving import SamplingParams, generate
+
+CODE_PATTERN = re.compile(r"<\|audio_code_(\d+)\|>")
+
+METADATA_KEYS = ("bpm", "caption", "duration", "genres", "keyscale", "language", "timesignature")
+
+
+# ---------------------------------------------------------------------------
+# tokenizer protocol
+# ---------------------------------------------------------------------------
+
+class TokenizerLike(Protocol):
+    def encode(self, text: str) -> List[int]: ...
+    def decode(self, ids: Sequence[int]) -> str: ...
+
+    # special ids
+    eos_token_id: int
+    think_end_id: int            # token id of "</think>"
+    audio_code_base_id: int      # id of <|audio_code_0|>; codes are contiguous
+
+
+@dataclasses.dataclass
+class HFTokenizerAdapter:
+    """Wraps a HuggingFace tokenizer (from the LM checkpoint)."""
+
+    tok: Any
+    eos_token_id: int = -1
+    think_end_id: int = -1
+    audio_code_base_id: int = -1
+
+    def __post_init__(self):
+        if self.eos_token_id < 0:
+            self.eos_token_id = self.tok.eos_token_id
+        if self.think_end_id < 0:
+            ids = self.tok.encode("</think>", add_special_tokens=False)
+            self.think_end_id = ids[-1] if len(ids) == 1 else -1
+        if self.audio_code_base_id < 0:
+            self.audio_code_base_id = self.tok.convert_tokens_to_ids("<|audio_code_0|>")
+
+    def encode(self, text: str) -> List[int]:
+        return self.tok.encode(text, add_special_tokens=False)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.tok.decode(list(ids))
+
+
+# ---------------------------------------------------------------------------
+# chat template (Qwen3 format; matches apply_chat_template output)
+# ---------------------------------------------------------------------------
+
+def apply_chat_template(
+    messages: Sequence[Dict[str, str]], add_generation_prompt: bool = True
+) -> str:
+    parts = []
+    for m in messages:
+        parts.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
+    if add_generation_prompt:
+        parts.append("<|im_start|>assistant\n")
+    out = "".join(parts)
+    if not add_generation_prompt and out.endswith("<|im_end|>\n"):
+        # codes phase continues INSIDE the assistant turn after the CoT
+        out = out[: -len("<|im_end|>\n")]
+    return out
+
+
+def _has_meaningful_negative(negative_prompt: str) -> bool:
+    return bool(negative_prompt) and negative_prompt.strip() not in ("", DEFAULT_NEGATIVE_PROMPT)
+
+
+def build_formatted_prompt(
+    caption: str,
+    lyrics: str = "",
+    is_negative_prompt: bool = False,
+    generation_phase: str = "cot",
+    negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+) -> str:
+    """Phase-1 (CoT) prompt (llm_inference.py:1425-1472)."""
+    if is_negative_prompt:
+        if generation_phase == "cot":
+            if _has_meaningful_negative(negative_prompt):
+                prompt = f"# Caption\n{negative_prompt}\n\n# Lyric\n{lyrics}\n"
+            else:
+                prompt = f"# Lyric\n{lyrics}\n"
+        else:
+            prompt = caption
+    else:
+        prompt = f"# Caption\n{caption}\n\n# Lyric\n{lyrics}\n"
+    return apply_chat_template(
+        [
+            {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+            {"role": "user", "content": prompt},
+        ],
+        add_generation_prompt=True,
+    )
+
+
+def build_formatted_prompt_with_cot(
+    caption: str,
+    lyrics: str,
+    cot_text: str,
+    is_negative_prompt: bool = False,
+    negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+) -> str:
+    """Phase-2 (codes) prompt with the CoT in the assistant turn
+    (llm_inference.py:1474-1532)."""
+    if is_negative_prompt:
+        cot_for_prompt = "<think>\n</think>"
+        caption_for_prompt = (
+            negative_prompt if _has_meaningful_negative(negative_prompt) else caption
+        )
+    else:
+        cot_for_prompt = cot_text
+        caption_for_prompt = caption
+    user_prompt = f"# Caption\n{caption_for_prompt}\n\n# Lyric\n{lyrics}\n"
+    formatted = apply_chat_template(
+        [
+            {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+            {"role": "user", "content": user_prompt},
+            {"role": "assistant", "content": cot_for_prompt},
+        ],
+        add_generation_prompt=False,
+    )
+    if not formatted.endswith("\n"):
+        formatted += "\n"
+    return formatted
+
+
+def build_understanding_prompt(
+    audio_codes: str, is_negative_prompt: bool = False,
+    negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+) -> str:
+    user_content = (
+        (negative_prompt if negative_prompt and negative_prompt.strip() else "")
+        if is_negative_prompt else audio_codes
+    )
+    return apply_chat_template(
+        [
+            {"role": "system",
+             "content": f"# Instruction\n{DEFAULT_LM_UNDERSTAND_INSTRUCTION}\n\n"},
+            {"role": "user", "content": user_content},
+        ],
+        add_generation_prompt=True,
+    )
+
+
+def build_sample_prompt(query: str, instruction: str = DEFAULT_LM_INSPIRED_INSTRUCTION) -> str:
+    return apply_chat_template(
+        [
+            {"role": "system", "content": f"# Instruction\n{instruction}\n\n"},
+            {"role": "user", "content": query},
+        ],
+        add_generation_prompt=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# output parsing
+# ---------------------------------------------------------------------------
+
+def postprocess_caption(value: str) -> str:
+    """Collapse YAML multi-line caption values into one line."""
+    lines = [ln.strip() for ln in value.split("\n")]
+    return " ".join(ln for ln in lines if ln).strip()
+
+
+def parse_lm_output(output_text: str) -> Tuple[Dict[str, Any], str]:
+    """Extract (metadata, audio_codes_string) from an LM completion
+    (semantics of llm_inference.py:2473-2597)."""
+    metadata: Dict[str, Any] = {}
+    audio_codes = "".join(
+        f"<|audio_code_{m}|>" for m in CODE_PATTERN.findall(output_text)
+    )
+
+    reasoning_text = None
+    for pattern in (r"<think>(.*?)</think>", r"<reasoning>(.*?)</reasoning>"):
+        m = re.search(pattern, output_text, re.DOTALL)
+        if m:
+            reasoning_text = m.group(1).strip()
+            break
+    if reasoning_text is None:
+        before = output_text.split("<|audio_code_")[0] if "<|audio_code_" in output_text else output_text
+        reasoning_text = before.strip()
+
+    current_key: Optional[str] = None
+    current_lines: List[str] = []
+
+    def save():
+        nonlocal current_key, current_lines
+        if current_key and current_lines:
+            value = "\n".join(current_lines)
+            if current_key in ("bpm", "duration"):
+                try:
+                    metadata[current_key] = int(value.strip())
+                except ValueError:
+                    metadata[current_key] = value.strip()
+            elif current_key == "caption":
+                metadata["caption"] = postprocess_caption(value)
+            elif current_key in METADATA_KEYS:
+                metadata[current_key] = value.strip()
+        current_key = None
+        current_lines = []
+
+    for line in reasoning_text.split("\n"):
+        if line.strip().startswith("<"):
+            continue
+        if line and not line[0].isspace() and ":" in line:
+            save()
+            key, _, first = line.partition(":")
+            current_key = key.strip().lower()
+            if first.strip():
+                current_lines.append(first)
+        elif line.startswith((" ", "\t")) and current_key:
+            current_lines.append(line)
+    save()
+    return metadata, audio_codes
+
+
+def codes_to_indices(audio_codes: str) -> np.ndarray:
+    return np.asarray([int(m) for m in CODE_PATTERN.findall(audio_codes)], np.int32)
+
+
+def indices_to_codes(indices: Sequence[int]) -> str:
+    return "".join(f"<|audio_code_{int(i)}|>" for i in indices)
+
+
+def metadata_to_cot(metadata: Dict[str, Any]) -> str:
+    """Render a metadata dict back into the canonical CoT block."""
+    lines = [f"{k}: {metadata[k]}" for k in METADATA_KEYS if k in metadata]
+    return "<think>\n" + "\n".join(lines) + "\n</think>"
+
+
+# ---------------------------------------------------------------------------
+# two-phase pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class LMResult:
+    metadata: Dict[str, Any]
+    cot_text: str
+    audio_codes: str
+    code_indices: np.ndarray
+    time_costs: Dict[str, float]
+
+
+class LMPipeline:
+    """Owns the LM params + tokenizer and runs the two-phase generation."""
+
+    def __init__(self, params: Dict[str, Any], cfg: QwenConfig, tokenizer: TokenizerLike):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+
+    def _run(self, prompt: str, sp: SamplingParams, key,
+             uncond_prompt: Optional[str] = None) -> Tuple[np.ndarray, int]:
+        ids = self.tok.encode(prompt)
+        prompt_ids = jnp.asarray([ids], jnp.int32)
+        lengths = jnp.asarray([len(ids)], jnp.int32)
+        ukw = {}
+        if uncond_prompt is not None and sp.cfg_scale != 1.0:
+            uids = self.tok.encode(uncond_prompt)
+            ukw = dict(
+                uncond_prompt_ids=jnp.asarray([uids], jnp.int32),
+                uncond_prompt_lengths=jnp.asarray([len(uids)], jnp.int32),
+            )
+        tokens, n_gen = generate(self.params, self.cfg, prompt_ids, lengths, key, sp, **ukw)
+        n = int(n_gen[0])
+        return np.asarray(tokens[0, :n]), n
+
+    def generate_with_stop_condition(
+        self,
+        caption: str,
+        lyrics: str = "",
+        target_duration_s: Optional[float] = None,
+        *,
+        temperature: float = 0.85,
+        top_p: float = 0.95,
+        top_k: int = 0,
+        cfg_scale: float = 1.0,
+        negative_prompt: str = DEFAULT_NEGATIVE_PROMPT,
+        max_cot_tokens: int = 512,
+        max_code_tokens: Optional[int] = None,
+        user_metadata: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+        thinking: bool = True,
+    ) -> LMResult:
+        """Phase 1 CoT -> parse metadata -> Phase 2 duration-constrained codes."""
+        time_costs: Dict[str, float] = {}
+        key = jax.random.key(seed)
+        k1, k2 = jax.random.split(key)
+
+        metadata: Dict[str, Any] = dict(user_metadata or {})
+        cot_text = ""
+        if thinking:
+            t0 = time.perf_counter()
+            prompt = build_formatted_prompt(caption, lyrics, generation_phase="cot")
+            sp = SamplingParams(
+                temperature=temperature, top_p=top_p, top_k=top_k,
+                max_new_tokens=max_cot_tokens,
+                stop_tokens=(self.tok.think_end_id,),
+                cfg_scale=cfg_scale,
+            )
+            uncond = build_formatted_prompt(
+                caption, lyrics, is_negative_prompt=True,
+                generation_phase="cot", negative_prompt=negative_prompt,
+            ) if cfg_scale != 1.0 else None
+            toks, _ = self._run(prompt, sp, k1, uncond)
+            cot_body = self.tok.decode([t for t in toks if t != self.tok.think_end_id])
+            cot_text = f"<think>\n{cot_body}".rstrip()
+            if not cot_text.endswith("</think>"):
+                cot_text += "\n</think>"
+            parsed, _ = parse_lm_output(cot_text)
+            # user metadata wins over model CoT (inference.py:539-558 merge)
+            for k, v in parsed.items():
+                metadata.setdefault(k, v)
+            time_costs["lm_phase1_time_cost"] = time.perf_counter() - t0
+        else:
+            cot_text = metadata_to_cot(metadata) if metadata else "<think>\n</think>"
+
+        duration = target_duration_s or metadata.get("duration") or 30.0
+        try:
+            duration = float(duration)
+        except (TypeError, ValueError):
+            duration = 30.0
+        n_codes = int(round(duration * LM_CODE_RATE))
+
+        t0 = time.perf_counter()
+        prompt2 = build_formatted_prompt_with_cot(caption, lyrics, cot_text or metadata_to_cot(metadata))
+        base = self.tok.audio_code_base_id
+        sp2 = SamplingParams(
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            max_new_tokens=n_codes + 2,
+            allowed_range=(base, base + AUDIO_CODEBOOK_SIZE),
+            eos_token=self.tok.eos_token_id,
+            min_tokens=n_codes,
+            forced_eos_at=n_codes,
+            cfg_scale=cfg_scale,
+        )
+        uncond2 = build_formatted_prompt_with_cot(
+            caption, lyrics, "", is_negative_prompt=True, negative_prompt=negative_prompt,
+        ) if cfg_scale != 1.0 else None
+        toks, _ = self._run(prompt2, sp2, k2, uncond2)
+        code_ids = np.asarray(
+            [t - base for t in toks if base <= t < base + AUDIO_CODEBOOK_SIZE], np.int32
+        )
+        time_costs["lm_phase2_time_cost"] = time.perf_counter() - t0
+
+        return LMResult(
+            metadata=metadata,
+            cot_text=cot_text,
+            audio_codes=indices_to_codes(code_ids),
+            code_indices=code_ids,
+            time_costs=time_costs,
+        )
+
+    def understand_audio_from_codes(
+        self, audio_codes: str, *, temperature: float = 0.7, top_p: float = 0.95,
+        max_tokens: int = 1024, seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Understanding flow: codes -> metadata/lyrics (llm_inference.py:1583+)."""
+        prompt = build_understanding_prompt(audio_codes)
+        sp = SamplingParams(
+            temperature=temperature, top_p=top_p, max_new_tokens=max_tokens,
+            stop_tokens=(self.tok.eos_token_id,),
+        )
+        toks, _ = self._run(prompt, sp, jax.random.key(seed))
+        text = self.tok.decode(toks)
+        metadata, _ = parse_lm_output(text)
+        metadata["raw_output"] = text
+        return metadata
+
+    def create_sample_from_query(
+        self, query: str, *, temperature: float = 0.85, top_p: float = 0.95,
+        max_tokens: int = 768, seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Inspiration flow: free-text query -> structured sample (llm_inference.py:1775+)."""
+        prompt = build_sample_prompt(query, DEFAULT_LM_INSPIRED_INSTRUCTION)
+        sp = SamplingParams(
+            temperature=temperature, top_p=top_p, max_new_tokens=max_tokens,
+            stop_tokens=(self.tok.eos_token_id,),
+        )
+        toks, _ = self._run(prompt, sp, jax.random.key(seed))
+        text = self.tok.decode(toks)
+        metadata, _ = parse_lm_output(text)
+        metadata["raw_output"] = text
+        return metadata
+
+    def format_sample_from_input(
+        self, text: str, *, temperature: float = 0.3, top_p: float = 0.9,
+        max_tokens: int = 768, seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Rewrite flow: messy input -> formatted sample (llm_inference.py:1949+)."""
+        prompt = build_sample_prompt(text, DEFAULT_LM_REWRITE_INSTRUCTION)
+        sp = SamplingParams(
+            temperature=temperature, top_p=top_p, max_new_tokens=max_tokens,
+            stop_tokens=(self.tok.eos_token_id,),
+        )
+        toks, _ = self._run(prompt, sp, jax.random.key(seed))
+        out = self.tok.decode(toks)
+        metadata, _ = parse_lm_output(out)
+        metadata["raw_output"] = out
+        return metadata
