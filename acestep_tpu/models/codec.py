@@ -1,0 +1,130 @@
+"""Audio-code <-> latent bridge: FSQ codebook + 5 Hz -> 25 Hz detokenizer.
+
+The reference keeps this inside the DiT checkpoint's remote code and uses it in
+both directions (SURVEY.md §2 tail):
+  * LM codes -> 25 Hz latent hints: ``model.tokenizer.quantizer.
+    get_output_from_indices`` + ``model.detokenizer`` (handler.py:906-939);
+  * latents -> 5 Hz codes for understanding/remix: ``model.tokenize``
+    (handler.py:1686-1741).
+
+The checkpoint's exact detokenizer architecture is not published in the repo;
+this module implements the documented interface (codebook 64000 at 5 Hz,
+latent dim 64 at 25 Hz) with a finite-scalar-quantization codebook whose level
+structure [8, 8, 8, 5, 5, 5] factorizes 64000, and a light conv upsampler.
+Weights load from the converted checkpoint when the names match; until then the
+bridge is structurally faithful and fully testable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.constants import AUDIO_CODEBOOK_SIZE, CODES_PER_LATENT, LATENT_DIM
+from acestep_tpu.models.vae import conv1d, conv_transpose1d
+
+FSQ_LEVELS = (8, 8, 8, 5, 5, 5)          # prod = 64000 = codebook size
+assert math.prod(FSQ_LEVELS) == AUDIO_CODEBOOK_SIZE
+
+
+# ---------------------------------------------------------------------------
+# FSQ codebook (deterministic, weight-free)
+# ---------------------------------------------------------------------------
+
+def indices_to_values(indices: jax.Array) -> jax.Array:
+    """code index [..] -> FSQ values [.., len(levels)] in [-1, 1] (mixed-radix
+    little-endian digits, dim 0 fastest)."""
+    vals = []
+    rem = indices.astype(jnp.int32)
+    for l in FSQ_LEVELS:
+        digit = rem % l
+        rem = rem // l
+        vals.append(2.0 * digit.astype(jnp.float32) / (l - 1) - 1.0)
+    return jnp.stack(vals, axis=-1)
+
+
+def values_to_indices(values: jax.Array) -> jax.Array:
+    """FSQ values [.., D] (any reals) -> nearest code index [..]."""
+    idx = jnp.zeros(values.shape[:-1], jnp.int32)
+    mult = 1
+    for i, l in enumerate(FSQ_LEVELS):
+        digit = jnp.clip(
+            jnp.round((values[..., i] + 1.0) * (l - 1) / 2.0), 0, l - 1
+        ).astype(jnp.int32)
+        idx = idx + digit * mult
+        mult *= l
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# detokenizer (5 Hz code values -> 25 Hz latents) and tokenizer (inverse)
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32) -> Dict[str, Any]:
+    ks = jax.random.split(key, 6)
+    d = len(FSQ_LEVELS)
+
+    def conv_p(k, kw, cin, cout):
+        scale = 1.0 / math.sqrt(kw * cin)
+        return {
+            "w": (jax.random.normal(k, (kw, cin, cout), jnp.float32) * scale).astype(dtype),
+            "b": jnp.zeros((cout,), dtype),
+        }
+
+    return {
+        "proj_in": conv_p(ks[0], 1, d, hidden),
+        "up": conv_p(ks[1], 3 * CODES_PER_LATENT, hidden, hidden),   # convT stride 5, k=3s p=s -> exact x5
+        "res1": conv_p(ks[2], 3, hidden, hidden),
+        "res2": conv_p(ks[3], 3, hidden, hidden),
+        "proj_out": conv_p(ks[4], 1, hidden, LATENT_DIM),
+        # tokenizer direction: 25 Hz latents -> 5 Hz code values
+        "down": conv_p(ks[5], 3 * CODES_PER_LATENT, LATENT_DIM, hidden),
+        "tok_out": {"w": (jax.random.normal(jax.random.split(ks[5])[0],
+                                            (1, hidden, d), jnp.float32) * 0.05).astype(dtype),
+                    "b": jnp.zeros((d,), dtype)},
+    }
+
+
+def detokenize(params: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
+    """[B, T5] code indices -> [B, T5*5, 64] latents (handler.py:906-939 path)."""
+    v = indices_to_values(code_indices)                  # [B, T5, 6]
+    x = conv1d(v, params["proj_in"]["w"], params["proj_in"]["b"])
+    x = conv_transpose1d(
+        jax.nn.gelu(x), params["up"]["w"], params["up"]["b"],
+        stride=CODES_PER_LATENT, padding=CODES_PER_LATENT,
+    )
+    x = x + conv1d(jax.nn.gelu(x), params["res1"]["w"], params["res1"]["b"], padding=1)
+    x = x + conv1d(jax.nn.gelu(x), params["res2"]["w"], params["res2"]["b"], padding=1)
+    return conv1d(x, params["proj_out"]["w"], params["proj_out"]["b"])
+
+
+def tokenize(params: Dict[str, Any], latents: jax.Array) -> jax.Array:
+    """[B, T25, 64] latents -> [B, T25//5] code indices (handler.py:1724-1733 path)."""
+    t25 = latents.shape[1]
+    t5 = t25 // CODES_PER_LATENT
+    x = latents[:, : t5 * CODES_PER_LATENT, :]
+    x = conv1d(x, params["down"]["w"], params["down"]["b"],
+               stride=CODES_PER_LATENT, padding=CODES_PER_LATENT)
+    x = x[:, :t5, :]
+    v = conv1d(jax.nn.gelu(x), params["tok_out"]["w"], params["tok_out"]["b"])
+    v = jnp.tanh(v)
+    return values_to_indices(v)
+
+
+def codes_to_latents(
+    params: Dict[str, Any], code_indices: np.ndarray, target_frames: int
+) -> jax.Array:
+    """Decode LM codes to latent hints, padded/cropped to target_frames
+    (handler.py detokenizer output handling :906-939)."""
+    idx = jnp.asarray(code_indices, jnp.int32)
+    if idx.ndim == 1:
+        idx = idx[None, :]
+    lat = detokenize(params, idx)
+    t = lat.shape[1]
+    if t < target_frames:
+        lat = jnp.pad(lat, ((0, 0), (0, target_frames - t), (0, 0)))
+    return lat[:, :target_frames, :]
