@@ -183,13 +183,15 @@ def _self_attention(
     return linear(out, p["o_proj"]["kernel"])
 
 
-def cross_kv(p: Params, cfg: DiTConfig, enc: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def cross_kv(
+    p: Params, cfg: DiTConfig, enc: jax.Array, backend: Optional[str] = None
+) -> Tuple[jax.Array, jax.Array]:
     """K/V for one layer's cross-attention from the projected condition [B, Lc, H]."""
     b, lc, _ = enc.shape
     hd, nkv = cfg.head_dim, cfg.num_key_value_heads
-    k = linear(enc, p["k_proj"]["kernel"]).reshape(b, lc, nkv, hd)
+    k = linear(enc, p["k_proj"]["kernel"], backend=backend).reshape(b, lc, nkv, hd)
     k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
-    v = linear(enc, p["v_proj"]["kernel"]).reshape(b, lc, nkv, hd).transpose(0, 2, 1, 3)
+    v = linear(enc, p["v_proj"]["kernel"], backend=backend).reshape(b, lc, nkv, hd).transpose(0, 2, 1, 3)
     return k, v
 
 
@@ -243,10 +245,46 @@ def compute_condition(
 
 def compute_all_cross_kv(
     params: Params, cfg: DiTConfig, enc: jax.Array
-) -> List[Tuple[jax.Array, jax.Array]]:
+):
     """Per-layer cross-attn K/V for a step-constant condition (computed once per
-    request, reused by all diffusion steps)."""
-    return [cross_kv(p["cross_attn"], cfg, enc) for p in params["layers"]]
+    request, reused by all diffusion steps).
+
+    List-mode params -> list of (k, v); stacked params -> (k_stack, v_stack)
+    with leading layer axis (computed via vmap over the stacked kernels)."""
+    layers = params["layers"]
+    if isinstance(layers, list):
+        return [cross_kv(p["cross_attn"], cfg, enc) for p in layers]
+    # vmap over the stacked layer axis; XLA backend (pallas has no batching rule)
+    return jax.vmap(lambda p: cross_kv(p, cfg, enc, backend="xla"))(layers["cross_attn"])
+
+
+# ---------------------------------------------------------------------------
+# layer stacking (compile-time: scan over layers compiles ONE layer body
+# instead of num_hidden_layers copies — essential for fast jit of the 24-layer
+# turbo model; QuantTensor leaves stack/slice natively as registered pytrees)
+# ---------------------------------------------------------------------------
+
+def stack_layer_params(layers: List[Params]) -> Params:
+    """List of per-layer pytrees -> one pytree with leading layer axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def stack_params(params: Params) -> Params:
+    """Stack the decoder layer list for the scan path (idempotent)."""
+    if isinstance(params.get("layers"), list):
+        params = dict(params)
+        params["layers"] = stack_layer_params(params["layers"])
+    return params
+
+
+def _layers_as_list(layers) -> Optional[List[Params]]:
+    return layers if isinstance(layers, list) else None
+
+
+def _num_layers(layers) -> int:
+    if isinstance(layers, list):
+        return len(layers)
+    return jax.tree_util.tree_leaves(layers)[0].shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +363,7 @@ def forward(
         if encoder_attn_mask is not None else None
     )
 
-    for i, p in enumerate(params["layers"]):
+    def layer_body(x, p, kv, sliding: bool):
         mod = p["scale_shift_table"].astype(jnp.float32)[None] + \
             timestep_proj.astype(jnp.float32)          # [B, 6, H]
         shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
@@ -334,15 +372,45 @@ def forward(
 
         normed = rms_norm(x, p["self_attn_norm"], cfg.rms_norm_eps)
         normed = normed * (1.0 + scale_msa) + shift_msa
-        sm = sliding_mask if cfg.layer_types[i] == "sliding_attention" else full_mask
+        if isinstance(sliding, bool):
+            sm = sliding_mask if sliding else full_mask
+        else:  # traced per-layer flag (scan path)
+            if sliding_mask is None:
+                sm = full_mask
+            elif full_mask is None and sliding_mask is not None:
+                # full layers have no mask: encode "no mask" as zeros
+                zero = jnp.zeros_like(sliding_mask)
+                sm = jnp.where(sliding, sliding_mask, zero)
+            else:
+                sm = jnp.where(sliding, sliding_mask, full_mask)
         x = x + _self_attention(p["self_attn"], cfg, normed, cos, sin, sm) * gate_msa
 
         normed = rms_norm(x, p["cross_attn_norm"], cfg.rms_norm_eps)
-        x = x + _cross_attention(p["cross_attn"], cfg, normed, kv_list[i], cross_mask)
+        x = x + _cross_attention(p["cross_attn"], cfg, normed, kv, cross_mask)
 
         normed = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
         normed = normed * (1.0 + c_scale) + c_shift
         x = x + _mlp(p["mlp"], normed) * c_gate
+        return x
+
+    layers = params["layers"]
+    if isinstance(layers, list):
+        for i, p in enumerate(layers):
+            x = layer_body(
+                x, p, kv_list[i], cfg.layer_types[i] == "sliding_attention"
+            )
+    else:
+        # scan over the stacked layer axis: ONE compiled layer body
+        sliding_flags = jnp.asarray(
+            [lt == "sliding_attention" for lt in cfg.layer_types]
+        )
+        k_stack, v_stack = kv_list
+
+        def scan_body(x, xs):
+            p, k_l, v_l, flag = xs
+            return layer_body(x, p, (k_l, v_l), flag), None
+
+        x, _ = jax.lax.scan(scan_body, x, (layers, k_stack, v_stack, sliding_flags))
 
     # output AdaLN (2-col table) + unpatchify (convtranspose1d stride=patch)
     out_mod = params["out_scale_shift_table"].astype(jnp.float32)[None] + \

@@ -103,6 +103,17 @@ def mlp_block(p: Params, x: jax.Array) -> jax.Array:
     return linear(act, p["down_proj"]["kernel"])
 
 
+def stack_params(params: Params) -> Params:
+    """Stack the layer list along a leading axis for the scan path (compiles ONE
+    layer body instead of num_hidden_layers copies — fast jit for 28-layer LMs)."""
+    if isinstance(params.get("layers"), list):
+        params = dict(params)
+        params["layers"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *params["layers"]
+        )
+    return params
+
+
 def forward(
     params: Params,
     cfg: QwenConfig,
@@ -121,14 +132,24 @@ def forward(
     cos, sin = rope_cos_sin(positions, cfg.head_dim, base=cfg.rope_theta)
     mask = make_attention_mask(l, l, kv_valid=attn_mask, causal=causal)
 
-    n = len(params["layers"]) if num_layers is None else num_layers
-    for p in params["layers"][:n]:
+    def layer_body(x, p):
         h = x + attention_block(
             p, cfg, rms_norm(x, p["input_norm"], cfg.rms_norm_eps), cos, sin, mask
         )
-        x = h + mlp_block(p, rms_norm(h, p["post_norm"], cfg.rms_norm_eps))
+        return h + mlp_block(p, rms_norm(h, p["post_norm"], cfg.rms_norm_eps))
 
-    if final_norm and (num_layers is None or num_layers == len(params["layers"])):
+    layers = params["layers"]
+    if isinstance(layers, list):
+        n = len(layers) if num_layers is None else num_layers
+        for p in layers[:n]:
+            x = layer_body(x, p)
+        full = num_layers is None or num_layers == len(layers)
+    else:
+        assert num_layers is None, "num_layers not supported with stacked params"
+        x, _ = jax.lax.scan(lambda c, p: (layer_body(c, p), None), x, layers)
+        full = True
+
+    if final_norm and full:
         x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x
 

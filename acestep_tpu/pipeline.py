@@ -122,11 +122,12 @@ class AceStepEngine:
         text_cfg: Optional[QwenConfig] = None,
         silence_latent: Optional[np.ndarray] = None,   # [1, T0, 64] tile-able
     ):
-        self.dit_params = dit_params
+        # stacked layer layout -> scan-over-layers (one compiled layer body)
+        self.dit_params = dit.stack_params(dit_params)
         self.dit_cfg = dit_cfg
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg
-        self.text_params = text_params
+        self.text_params = qwen.stack_params(text_params) if text_params else None
         self.text_cfg = text_cfg
         self._vae_decode_jit = jax.jit(
             lambda lat: vae.decode(self.vae_params, self.vae_cfg, lat)

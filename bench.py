@@ -22,7 +22,13 @@ BASELINE_Q8_10S_INFER_S = 4.663
 
 
 def main():
+    import os
     import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from acestep_tpu.pipeline import GenerationRequest, build_random_engine
