@@ -1,0 +1,221 @@
+"""Async-job REST server (analog of acestep/api_server.py, stdlib-only).
+
+Endpoints (reference routes, api_server.py:2249-2805):
+  POST /release_task          submit a generation job    -> {"task_id": ...}
+  POST /query_result          poll job status/result     -> {"status", "result"}
+  GET  /health                liveness
+  GET  /v1/models             model listing
+  GET  /v1/stats              job-store stats (api_server.py:2592)
+  POST /create_random_sample  LM inspiration flow
+  POST /format_input          LM rewrite flow
+
+Job store: in-memory with TTL cleanup (api_server.py:604-727), single worker
+thread draining a FIFO queue (generation is serialized per engine the same way
+the reference locks its engine — llm_engine.py:24-32 coarse lock).
+
+Optional API-key auth via the ``ACESTEP_TPU_API_KEY`` env var
+(api_server.py:293-330 equivalent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, Optional
+
+JOB_TTL_S = 3600.0
+CLEANUP_INTERVAL_S = 60.0
+
+
+class JobStore:
+    def __init__(self, ttl_s: float = JOB_TTL_S):
+        self._jobs: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        self._ttl = ttl_s
+        self.stats = {"submitted": 0, "completed": 0, "failed": 0}
+
+    def create(self, payload: Dict[str, Any]) -> str:
+        task_id = uuid.uuid4().hex
+        with self._lock:
+            self._jobs[task_id] = {
+                "status": "queued",
+                "payload": payload,
+                "result": None,
+                "error": None,
+                "created_at": time.time(),
+                "updated_at": time.time(),
+            }
+            self.stats["submitted"] += 1
+        return task_id
+
+    def update(self, task_id: str, **fields) -> None:
+        with self._lock:
+            job = self._jobs.get(task_id)
+            if job is not None:
+                job.update(fields, updated_at=time.time())
+                if fields.get("status") == "completed":
+                    self.stats["completed"] += 1
+                elif fields.get("status") == "failed":
+                    self.stats["failed"] += 1
+
+    def get(self, task_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            return dict(self._jobs[task_id]) if task_id in self._jobs else None
+
+    def cleanup(self) -> int:
+        now = time.time()
+        with self._lock:
+            stale = [k for k, v in self._jobs.items() if now - v["updated_at"] > self._ttl]
+            for k in stale:
+                del self._jobs[k]
+        return len(stale)
+
+    def counts(self) -> Dict[str, int]:
+        with self._lock:
+            by_status: Dict[str, int] = {}
+            for v in self._jobs.values():
+                by_status[v["status"]] = by_status.get(v["status"], 0) + 1
+        return {**self.stats, **{f"jobs_{k}": n for k, n in by_status.items()}}
+
+
+class ApiServer:
+    """HTTP front over a generation callable.
+
+    ``generate_fn(payload: dict) -> dict`` runs one job (typically wraps
+    acestep_tpu.inference.generate_music); LM-only flows are optional callables.
+    """
+
+    def __init__(
+        self,
+        generate_fn: Callable[[Dict[str, Any]], Dict[str, Any]],
+        create_sample_fn: Optional[Callable[[str], Dict[str, Any]]] = None,
+        format_input_fn: Optional[Callable[[str], Dict[str, Any]]] = None,
+        models_info: Optional[Dict[str, Any]] = None,
+        api_key: Optional[str] = None,
+    ):
+        self.generate_fn = generate_fn
+        self.create_sample_fn = create_sample_fn
+        self.format_input_fn = format_input_fn
+        self.models_info = models_info or {"models": ["acestep-v15-turbo-tpu"]}
+        self.api_key = api_key if api_key is not None else os.environ.get("ACESTEP_TPU_API_KEY")
+        self.store = JobStore()
+        self._queue: "queue.Queue[str]" = queue.Queue()
+        self._stop = threading.Event()
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._threads = []
+
+    # -- worker ------------------------------------------------------------
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                task_id = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            job = self.store.get(task_id)
+            if job is None:
+                continue
+            self.store.update(task_id, status="running")
+            try:
+                result = self.generate_fn(job["payload"])
+                self.store.update(task_id, status="completed", result=result)
+            except Exception as e:  # noqa: BLE001 — job errors go to the client
+                self.store.update(task_id, status="failed", error=str(e))
+
+    def _cleaner(self):
+        while not self._stop.is_set():
+            self.store.cleanup()
+            self._stop.wait(CLEANUP_INTERVAL_S)
+
+    # -- http --------------------------------------------------------------
+
+    def _make_handler(server):  # noqa: N805 — closure over the ApiServer
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, obj: Dict[str, Any]):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _auth_ok(self) -> bool:
+                if not server.api_key:
+                    return True
+                header = self.headers.get("Authorization", "")
+                return header == f"Bearer {server.api_key}"
+
+            def _body(self) -> Dict[str, Any]:
+                n = int(self.headers.get("Content-Length", 0))
+                if n == 0:
+                    return {}
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_GET(self):
+                if self.path == "/health":
+                    return self._send(200, {"status": "ok"})
+                if not self._auth_ok():
+                    return self._send(401, {"error": "unauthorized"})
+                if self.path == "/v1/models":
+                    return self._send(200, server.models_info)
+                if self.path == "/v1/stats":
+                    return self._send(200, server.store.counts())
+                return self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                if not self._auth_ok():
+                    return self._send(401, {"error": "unauthorized"})
+                try:
+                    body = self._body()
+                except json.JSONDecodeError:
+                    return self._send(400, {"error": "invalid json"})
+
+                if self.path == "/release_task":
+                    task_id = server.store.create(body)
+                    server._queue.put(task_id)
+                    return self._send(200, {"task_id": task_id, "status": "queued"})
+                if self.path == "/query_result":
+                    task_id = body.get("task_id", "")
+                    job = server.store.get(task_id)
+                    if job is None:
+                        return self._send(404, {"error": "unknown task_id"})
+                    return self._send(200, {
+                        "task_id": task_id,
+                        "status": job["status"],
+                        "result": job["result"],
+                        "error": job["error"],
+                    })
+                if self.path == "/create_random_sample":
+                    if server.create_sample_fn is None:
+                        return self._send(501, {"error": "LM not loaded"})
+                    return self._send(200, server.create_sample_fn(body.get("query", "")))
+                if self.path == "/format_input":
+                    if server.format_input_fn is None:
+                        return self._send(501, {"error": "LM not loaded"})
+                    return self._send(200, server.format_input_fn(body.get("text", "")))
+                return self._send(404, {"error": "not found"})
+
+        return Handler
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, host: str = "127.0.0.1", port: int = 8000) -> int:
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        for target in (self._worker, self._cleaner, self._httpd.serve_forever):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self._httpd.server_address[1]
+
+    def stop(self):
+        self._stop.set()
+        if self._httpd:
+            self._httpd.shutdown()
