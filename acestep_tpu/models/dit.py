@@ -270,10 +270,13 @@ def stack_layer_params(layers: List[Params]) -> Params:
 
 
 def stack_params(params: Params) -> Params:
-    """Stack the decoder layer list for the scan path (idempotent)."""
-    if isinstance(params.get("layers"), list):
-        params = dict(params)
-        params["layers"] = stack_layer_params(params["layers"])
+    """Stack the decoder + conditioning-encoder layer lists for the scan path
+    (idempotent; empty lists stay as-is)."""
+    params = dict(params)
+    for key in ("layers", "lyric_layers", "timbre_layers"):
+        v = params.get(key)
+        if isinstance(v, list) and v:
+            params[key] = stack_layer_params(v)
     return params
 
 
@@ -430,7 +433,7 @@ def forward(
 # ---------------------------------------------------------------------------
 
 def _encoder_stack(
-    layers: List[Params],
+    layers,
     cfg: DiTConfig,
     x: jax.Array,
     valid: Optional[jax.Array],
@@ -446,13 +449,36 @@ def _encoder_stack(
         make_attention_mask(l, l, kv_valid=valid, sliding_window=cfg.sliding_window)
         if has_sliding else None
     )
-    for i, p in enumerate(layers):
-        sliding = i < len(cfg.layer_types) and cfg.layer_types[i] == "sliding_attention"
-        mask = sliding_mask if sliding else full_mask
+
+    def body(x, p, mask):
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
         x = x + _self_attention(p["self_attn"], cfg, xn, cos, sin, mask)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        x = x + _mlp(p["mlp"], hn)
+        return x + _mlp(p["mlp"], hn)
+
+    if isinstance(layers, list):
+        for i, p in enumerate(layers):
+            sliding = i < len(cfg.layer_types) and cfg.layer_types[i] == "sliding_attention"
+            x = body(x, p, sliding_mask if sliding else full_mask)
+        return x
+
+    n = _num_layers(layers)
+    flags = jnp.asarray([
+        i < len(cfg.layer_types) and cfg.layer_types[i] == "sliding_attention"
+        for i in range(n)
+    ])
+
+    def scan_body(x, xs):
+        p, flag = xs
+        if sliding_mask is None:
+            mask = full_mask
+        elif full_mask is None:
+            mask = jnp.where(flag, sliding_mask, jnp.zeros_like(sliding_mask))
+        else:
+            mask = jnp.where(flag, sliding_mask, full_mask)
+        return body(x, p, mask), None
+
+    x, _ = jax.lax.scan(scan_body, x, (layers, flags))
     return x
 
 

@@ -62,6 +62,60 @@ def pack_sequences(
     return packed_h, packed_m
 
 
+# one jitted graph for the whole condition build (style + lyric + timbre):
+# running these encoders eagerly would cost hundreds of per-op dispatches
+TOKEN_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _token_bucket(n: int) -> int:
+    for b in TOKEN_BUCKETS:
+        if n <= b:
+            return b
+    return TOKEN_BUCKETS[-1]
+
+
+def _pad_tokens(ids: np.ndarray, mask: Optional[np.ndarray]):
+    ids = np.asarray(ids, np.int32)
+    if mask is None:
+        mask = np.ones_like(ids)
+    b = _token_bucket(ids.shape[1])
+    pad = b - ids.shape[1]
+    if pad:
+        ids = np.pad(ids, ((0, 0), (0, pad)))
+        mask = np.pad(mask, ((0, 0), (0, pad)))
+    return jnp.asarray(ids[:, :b]), jnp.asarray(np.asarray(mask, np.int32)[:, :b])
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("dit_cfg", "text_cfg"))
+def encode_condition(
+    dit_params, text_params, dit_cfg, text_cfg,
+    style_ids, style_mask, lyric_ids, lyric_mask,
+    refer_latents, refer_frame_mask, refer_clip_mask,
+):
+    """Full condition build in ONE compiled graph -> (packed_hidden, packed_mask)."""
+    parts = []
+    if lyric_ids is not None:
+        emb = qwen.embeddings_only(text_params, lyric_ids)
+        lyr = dit.lyric_encoder(dit_params, dit_cfg, emb, lyric_mask)
+        parts.append((lyr, lyric_mask))
+    if refer_latents is not None:
+        b, n, lr, c = refer_latents.shape
+        flat = refer_latents.reshape(b * n, lr, c)
+        fm = refer_frame_mask.reshape(b * n, lr) if refer_frame_mask is not None else None
+        toks = dit.timbre_encoder(dit_params, dit_cfg, flat, fm).reshape(b, n, -1)
+        parts.append((toks, refer_clip_mask))
+    if style_ids is not None:
+        hs = qwen.forward(text_params, text_cfg, style_ids, style_mask)
+        st = dit.text_projector(dit_params, hs)
+        parts.append((st, style_mask))
+    if not parts:
+        raise ValueError("empty condition: need style, lyric, or timbre input")
+    return pack_sequences(parts)
+
+
 # ---------------------------------------------------------------------------
 # request/result dataclasses (analog of inference.py GenerationParams/Result)
 # ---------------------------------------------------------------------------
@@ -186,21 +240,39 @@ class AceStepEngine:
         return toks, mask
 
     def build_condition(self, req: GenerationRequest, b: int) -> Tuple[jax.Array, jax.Array]:
-        """Pack [lyric | timbre | style] with valid-first ordering."""
-        h = self.dit_cfg.hidden_size
-        parts: List[Tuple[jax.Array, jax.Array]] = []
+        """Pack [lyric | timbre | style] with valid-first ordering.
+
+        Token lengths are bucketed so the single jitted condition graph
+        (encode_condition) compiles once per (style_bucket, lyric_bucket,
+        n_refer) combination."""
+        from acestep_tpu.constants import TIMBRE_FIX_FRAMES
+
+        style_ids = style_mask = lyric_ids = lyric_mask = None
+        refer = refer_fm = refer_cm = None
         if req.lyric_token_ids is not None:
-            lm = req.lyric_mask if req.lyric_mask is not None else np.ones_like(req.lyric_token_ids)
-            parts.append((self.encode_lyric(req.lyric_token_ids, lm), jnp.asarray(lm)))
+            lyric_ids, lyric_mask = _pad_tokens(req.lyric_token_ids, req.lyric_mask)
         if req.refer_latents is not None:
-            toks, tmask = self.encode_timbre(req.refer_latents, req.refer_mask)
-            parts.append((toks, tmask))
+            r = np.asarray(req.refer_latents, np.float32)
+            bb, n, lr, c = r.shape
+            fm = np.ones((bb, n, lr), np.int32)
+            if lr < TIMBRE_FIX_FRAMES:
+                r = np.pad(r, ((0, 0), (0, 0), (0, TIMBRE_FIX_FRAMES - lr), (0, 0)))
+                fm = np.pad(fm, ((0, 0), (0, 0), (0, TIMBRE_FIX_FRAMES - lr)))
+            r = r[:, :, :TIMBRE_FIX_FRAMES]
+            fm = fm[:, :, :TIMBRE_FIX_FRAMES]
+            refer = jnp.asarray(r)
+            refer_fm = jnp.asarray(fm)
+            refer_cm = (
+                jnp.asarray(req.refer_mask, jnp.int32)
+                if req.refer_mask is not None else jnp.ones((bb, n), jnp.int32)
+            )
         if req.style_token_ids is not None:
-            sm = req.style_mask if req.style_mask is not None else np.ones_like(req.style_token_ids)
-            parts.append((self.encode_style(req.style_token_ids, sm), jnp.asarray(sm)))
-        if not parts:
-            raise ValueError("empty condition: need style, lyric, or timbre input")
-        return pack_sequences(parts)
+            style_ids, style_mask = _pad_tokens(req.style_token_ids, req.style_mask)
+        return encode_condition(
+            self.dit_params, self.text_params, self.dit_cfg, self.text_cfg,
+            style_ids, style_mask, lyric_ids, lyric_mask,
+            refer, refer_fm, refer_cm,
+        )
 
     # -- context latents ----------------------------------------------------
 
@@ -318,12 +390,26 @@ def build_random_engine(
     vae_cfg = vae_cfg or VAEConfig()
     text_cfg = text_cfg or QwenConfig()
     k1, k2, k3 = jax.random.split(key, 3)
-    dit_params = dit.init_params(k1, dit_cfg, dtype=dtype)
-    vae_params = vae.init_params(k2, vae_cfg)
-    text_params = qwen.init_params(k3, text_cfg, dtype=dtype)
-    if quant:
-        dit_params = quantize_tree_jax(dit_params, quant)
-        text_params = quantize_tree_jax(text_params, quant)
+
+    # init + quantize entirely on the host CPU backend: hundreds of small one-off
+    # TPU compiles (one per array shape) would otherwise dominate startup through
+    # a remote-compile backend; one device_put ships the finished tree.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        dit_params = dit.init_params(k1, dit_cfg, dtype=dtype)
+        vae_params = vae.init_params(k2, vae_cfg)
+        text_params = qwen.init_params(k3, text_cfg, dtype=dtype)
+        if quant:
+            dit_params = quantize_tree_jax(dit_params, quant)
+            text_params = quantize_tree_jax(text_params, quant)
+        dit_params = dit.stack_params(dit_params)
+        text_params = qwen.stack_params(text_params)
+
+    default = jax.devices()[0]
+    if default != cpu:
+        dit_params, vae_params, text_params = jax.device_put(
+            (dit_params, vae_params, text_params), default
+        )
     return AceStepEngine(
         dit_params, dit_cfg, vae_params, vae_cfg, text_params, text_cfg
     )
