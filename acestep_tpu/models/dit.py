@@ -48,8 +48,17 @@ TIME_EMBED_IN = 256  # sinusoidal embedding width (mlx_dit/model.py:358)
 # init
 # ---------------------------------------------------------------------------
 
+_SAMPLER = None  # set temporarily by init_params for fast host-side init
+
+
+def _normal(key, shape):
+    if _SAMPLER is not None:
+        return _SAMPLER(shape)
+    return jax.random.normal(key, shape, jnp.float32)
+
+
 def _dense(key, k, n, dtype, bias=True, scale=0.02):
-    p = {"kernel": (jax.random.normal(key, (k, n), jnp.float32) * scale).astype(dtype)}
+    p = {"kernel": (_normal(key, (k, n)) * scale).astype(dtype)}
     if bias:
         p["bias"] = jnp.zeros((n,), dtype)
     return p
@@ -99,7 +108,18 @@ def _timestep_embed_params(key, h, dtype):
     }
 
 
-def init_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.bfloat16) -> Params:
+def init_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.bfloat16, sampler=None) -> Params:
+    """``sampler(shape) -> f32 array`` overrides jax.random (numpy host init is
+    ~50x faster for billion-param random engines; see pipeline.build_random_engine)."""
+    global _SAMPLER
+    _SAMPLER = sampler
+    try:
+        return _init_params_impl(key, cfg, dtype)
+    finally:
+        _SAMPLER = None
+
+
+def _init_params_impl(key: jax.Array, cfg: DiTConfig, dtype) -> Params:
     h = cfg.hidden_size
     keys = jax.random.split(key, 16 + cfg.num_hidden_layers
                             + cfg.num_lyric_encoder_hidden_layers
@@ -139,9 +159,7 @@ def init_params(key: jax.Array, cfg: DiTConfig, dtype=jnp.bfloat16) -> Params:
         # (per output channel, like torch ConvTranspose1d)
         "proj_out": {
             "kernel": (
-                jax.random.normal(
-                    nk(), (h, cfg.audio_acoustic_hidden_dim * cfg.patch_size), jnp.float32
-                ) * 0.02
+                _normal(nk(), (h, cfg.audio_acoustic_hidden_dim * cfg.patch_size)) * 0.02
             ).astype(dtype),
             "bias": jnp.zeros((cfg.audio_acoustic_hidden_dim,), dtype),
         },

@@ -35,15 +35,19 @@ Params = Dict[str, Any]
 
 
 def init_params(
-    key: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16, scale: float = 0.02
+    key: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16, scale: float = 0.02,
+    sampler=None,
 ) -> Params:
-    """Random-init params (used for tests/benches; real weights come from the converter)."""
+    """Random-init params (used for tests/benches; real weights come from the converter).
+    ``sampler(shape) -> f32 array`` overrides jax.random (fast numpy host init)."""
+    normal = (lambda k, s: sampler(s)) if sampler is not None else (
+        lambda k, s: jax.random.normal(k, s, jnp.float32))
     h, hd = cfg.hidden_size, cfg.head_dim
     nh, nkv, inter = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
     keys = jax.random.split(key, cfg.num_hidden_layers + 2)
 
     def dense(k, kk, n):
-        return {"kernel": (jax.random.normal(k, (kk, n), jnp.float32) * scale).astype(dtype)}
+        return {"kernel": (normal(k, (kk, n)) * scale).astype(dtype)}
 
     def layer(k):
         ks = jax.random.split(k, 7)
@@ -63,7 +67,7 @@ def init_params(
 
     return {
         "embed_tokens": (
-            jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32) * scale
+            normal(keys[0], (cfg.vocab_size, h)) * scale
         ).astype(dtype),
         "layers": [layer(keys[i + 1]) for i in range(cfg.num_hidden_layers)],
         "norm": jnp.ones((h,), dtype),
