@@ -144,15 +144,19 @@ class GenerationRequest:
     timesteps: Optional[Sequence[float]] = None
     infer_method: str = "ode"
     batch_size: int = 1
+    # mixed-duration batching (BASELINE.json configs[3]): per-item durations
+    # sharing one frame bucket; unset -> duration_s for every item
+    durations_s: Optional[Sequence[float]] = None
 
 
 @dataclasses.dataclass
 class GenerationResult:
-    audio: np.ndarray                                  # [B, L, C] float32
+    audio: np.ndarray                                  # [B, L, C] float32 (padded)
     latents: np.ndarray                                # [B, T, 64]
     sample_rate: int
     time_costs: Dict[str, float]
     seeds: List[int]
+    audio_lengths: Optional[List[int]] = None          # per-item valid samples
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +317,14 @@ class AceStepEngine:
         time_costs: Dict[str, float] = {}
 
         b = req.batch_size
-        t_valid = frames_for_duration(req.duration_s)
+        durations = (
+            list(req.durations_s) if req.durations_s
+            else [req.duration_s] * b
+        )
+        if len(durations) != b:
+            durations = (durations * b)[:b]
+        item_valid = [frames_for_duration(d) for d in durations]
+        t_valid = max(item_valid)
         t = bucket_frames(t_valid)
         audio_dim = self.dit_cfg.audio_acoustic_hidden_dim
 
@@ -330,10 +341,10 @@ class AceStepEngine:
         noise = sampler.make_noise(seeds, (b, t, audio_dim))
 
         attn_mask = None
-        use_attn_mask = t != t_valid
+        use_attn_mask = t != t_valid or len(set(item_valid)) > 1
         if use_attn_mask:
-            attn_mask = (jnp.arange(t)[None, :] < t_valid).astype(jnp.int32)
-            attn_mask = jnp.broadcast_to(attn_mask, (b, t))
+            valid_arr = jnp.asarray(item_valid, jnp.int32)[:, None]
+            attn_mask = (jnp.arange(t)[None, :] < valid_arr).astype(jnp.int32)
 
         schedule = sampler.get_timestep_schedule(req.shift, req.timesteps)
 
@@ -371,6 +382,7 @@ class AceStepEngine:
             sample_rate=self.vae_cfg.sampling_rate,
             time_costs=time_costs,
             seeds=seeds,
+            audio_lengths=[v * self.vae_cfg.hop_length for v in item_valid],
         )
 
 

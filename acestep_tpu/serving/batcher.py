@@ -1,0 +1,233 @@
+"""Continuous batcher for song requests (the north-star serving component).
+
+Generalizes nano-vllm's token-level continuous batching (scheduler.py:17-272) to
+whole-song generation on TPU: incoming requests are grouped by their COMPILE
+SHAPE key — frame bucket, condition token buckets, task, schedule — so a merged
+batch reuses an already-compiled sampler graph, and mixed durations ride one
+bucket via per-item attention masks (BASELINE.json configs[3]).
+
+TPU-shaped design decisions vs the GPU reference:
+  * no paged KV / preemption — diffusion jobs are short and fixed-length, so the
+    scheduler works at request granularity with shape-keyed FIFO queues;
+  * batch launch policy: fire when max_batch requests are waiting OR the oldest
+    request exceeds max_wait_s (latency/throughput knob);
+  * one worker per engine — device work is serialized anyway (the reference
+    locks its engine the same way, llm_engine.py:24-32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+import uuid
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from acestep_tpu.pipeline import (
+    GenerationRequest,
+    GenerationResult,
+    _token_bucket,
+    bucket_frames,
+    frames_for_duration,
+)
+
+
+@dataclasses.dataclass
+class _Pending:
+    id: str
+    req: GenerationRequest
+    future: Future
+    arrived: float
+
+
+def _shape_key(req: GenerationRequest) -> Tuple:
+    """Requests sharing this key can merge into one compiled batch."""
+    frames = bucket_frames(frames_for_duration(req.duration_s))
+    style_b = _token_bucket(req.style_token_ids.shape[1]) if req.style_token_ids is not None else 0
+    lyric_b = _token_bucket(req.lyric_token_ids.shape[1]) if req.lyric_token_ids is not None else 0
+    timbre = req.refer_latents.shape[1] if req.refer_latents is not None else 0
+    return (
+        frames, style_b, lyric_b, timbre, req.task,
+        req.shift, tuple(req.timesteps) if req.timesteps else None,
+        req.infer_method,
+    )
+
+
+def _pad_ids(ids: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
+    mask = np.ones_like(ids)
+    pad = bucket - ids.shape[1]
+    if pad > 0:
+        ids = np.pad(ids, ((0, 0), (0, pad)))
+        mask = np.pad(mask, ((0, 0), (0, pad)))
+    return ids, mask
+
+
+def merge_requests(reqs: List[GenerationRequest]) -> GenerationRequest:
+    """Merge shape-compatible single requests into one batched request."""
+    assert reqs
+    key = _shape_key(reqs[0])
+    assert all(_shape_key(r) == key for r in reqs), "incompatible merge"
+    out = dataclasses.replace(reqs[0])
+    out.batch_size = sum(r.batch_size for r in reqs)
+    out.durations_s = [
+        d for r in reqs
+        for d in (r.durations_s if r.durations_s else [r.duration_s] * r.batch_size)
+    ]
+    out.duration_s = max(out.durations_s)
+    out.seeds = [
+        s for r in reqs
+        for s in (list(r.seeds) if r.seeds else list(range(r.batch_size)))
+    ]
+
+    def cat(field, bucket_fn=None):
+        vals = [getattr(r, field) for r in reqs]
+        if all(v is None for v in vals):
+            return None, None
+        arrs, masks = [], []
+        width = max(v.shape[1] for v in vals if v is not None)
+        if bucket_fn:
+            width = bucket_fn(width)
+        for r, v in zip(reqs, vals):
+            b = r.batch_size
+            if v is None:
+                arrs.append(np.zeros((b, width), np.int32))
+                masks.append(np.zeros((b, width), np.int32))
+            else:
+                ids, m = _pad_ids(np.asarray(v, np.int32), width)
+                arrs.append(np.broadcast_to(ids, (b, width)) if ids.shape[0] == 1 else ids)
+                masks.append(np.broadcast_to(m, (b, width)) if m.shape[0] == 1 else m)
+        return np.concatenate(arrs, 0), np.concatenate(masks, 0)
+
+    out.style_token_ids, out.style_mask = cat("style_token_ids", _token_bucket)
+    out.lyric_token_ids, out.lyric_mask = cat("lyric_token_ids", _token_bucket)
+    if any(r.refer_latents is not None for r in reqs):
+        n_refer = max(r.refer_latents.shape[1] for r in reqs if r.refer_latents is not None)
+        lat_dim = next(r.refer_latents for r in reqs if r.refer_latents is not None).shape[-1]
+        lr = max(r.refer_latents.shape[2] for r in reqs if r.refer_latents is not None)
+        blocks, cmasks = [], []
+        for r in reqs:
+            b = r.batch_size
+            if r.refer_latents is None:
+                blocks.append(np.zeros((b, n_refer, lr, lat_dim), np.float32))
+                cmasks.append(np.zeros((b, n_refer), np.int32))
+            else:
+                v = np.asarray(r.refer_latents, np.float32)
+                v = np.pad(v, ((0, 0), (0, n_refer - v.shape[1]), (0, lr - v.shape[2]), (0, 0)))
+                blocks.append(np.broadcast_to(v, (b,) + v.shape[1:]) if v.shape[0] == 1 else v)
+                cm = np.zeros((b, n_refer), np.int32)
+                cm[:, : r.refer_latents.shape[1]] = 1
+                cmasks.append(cm)
+        out.refer_latents = np.concatenate(blocks, 0)
+        out.refer_mask = np.concatenate(cmasks, 0)
+    if any(r.src_latents is not None for r in reqs):
+        t_frames = max(r.src_latents.shape[1] for r in reqs if r.src_latents is not None)
+        blocks = []
+        for r in reqs:
+            b = r.batch_size
+            if r.src_latents is None:
+                blocks.append(np.zeros((b, t_frames, 64), np.float32))
+            else:
+                v = np.asarray(r.src_latents, np.float32)
+                v = np.pad(v, ((0, 0), (0, t_frames - v.shape[1]), (0, 0)))
+                blocks.append(np.broadcast_to(v, (b,) + v.shape[1:]) if v.shape[0] == 1 else v)
+        out.src_latents = np.concatenate(blocks, 0)
+    return out
+
+
+def split_result(result: GenerationResult, sizes: List[int]) -> List[GenerationResult]:
+    outs = []
+    i = 0
+    for n in sizes:
+        sl = slice(i, i + n)
+        outs.append(GenerationResult(
+            audio=result.audio[sl],
+            latents=result.latents[sl],
+            sample_rate=result.sample_rate,
+            time_costs=result.time_costs,
+            seeds=result.seeds[sl],
+            audio_lengths=result.audio_lengths[sl] if result.audio_lengths else None,
+        ))
+        i += n
+    return outs
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        run_fn: Callable[[GenerationRequest], GenerationResult],
+        max_batch: int = 8,
+        max_wait_s: float = 0.25,
+    ):
+        self.run_fn = run_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self._queues: Dict[Tuple, List[_Pending]] = {}
+        self._lock = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self.stats = {"batches": 0, "requests": 0, "merged_sizes": []}
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        with self._lock:
+            self._stop = True
+            self._lock.notify_all()
+        self._thread.join(timeout=5)
+
+    def submit(self, req: GenerationRequest) -> Future:
+        fut: Future = Future()
+        p = _Pending(uuid.uuid4().hex, req, fut, time.time())
+        with self._lock:
+            self._queues.setdefault(_shape_key(req), []).append(p)
+            self.stats["requests"] += 1
+            self._lock.notify_all()
+        return fut
+
+    def _pick_batch(self) -> Optional[List[_Pending]]:
+        now = time.time()
+        best = None
+        for key, q in self._queues.items():
+            if not q:
+                continue
+            total = sum(p.req.batch_size for p in q)
+            age = now - q[0].arrived
+            if total >= self.max_batch or age >= self.max_wait_s:
+                take, n = [], 0
+                while q and n + q[0].req.batch_size <= self.max_batch:
+                    p = q.pop(0)
+                    take.append(p)
+                    n += p.req.batch_size
+                if not take:       # single over-size request: run alone
+                    take = [q.pop(0)]
+                return take
+            if best is None or age > now - best[0].arrived:
+                best = q
+        return None
+
+    def _loop(self):
+        while True:
+            with self._lock:
+                batch = self._pick_batch()
+                while batch is None and not self._stop:
+                    self._lock.wait(timeout=self.max_wait_s / 2)
+                    batch = self._pick_batch()
+                if self._stop and batch is None:
+                    return
+            try:
+                merged = merge_requests([p.req for p in batch])
+                result = self.run_fn(merged)
+                parts = split_result(result, [p.req.batch_size for p in batch])
+                for p, r in zip(batch, parts):
+                    p.future.set_result(r)
+                self.stats["batches"] += 1
+                self.stats["merged_sizes"].append(merged.batch_size)
+            except Exception as e:  # noqa: BLE001
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)

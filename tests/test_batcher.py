@@ -1,0 +1,126 @@
+"""Continuous batcher tests (fake engine; real threads)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from acestep_tpu.pipeline import GenerationRequest, GenerationResult
+from acestep_tpu.serving.batcher import (
+    ContinuousBatcher,
+    _shape_key,
+    merge_requests,
+    split_result,
+)
+
+
+def _req(dur=10.0, style_len=6, lyric_len=None, seeds=None, batch=1):
+    rng = np.random.default_rng(0)
+    return GenerationRequest(
+        duration_s=dur,
+        style_token_ids=rng.integers(0, 100, (1, style_len)),
+        lyric_token_ids=rng.integers(0, 100, (1, lyric_len)) if lyric_len else None,
+        seeds=seeds or [1],
+        batch_size=batch,
+    )
+
+
+class TestMerge:
+    def test_shape_key_groups_same_bucket(self):
+        assert _shape_key(_req(dur=10.0)) == _shape_key(_req(dur=10.2))
+        # 10 s and 30 s land in different frame buckets
+        assert _shape_key(_req(dur=10.0)) != _shape_key(_req(dur=30.0))
+        # 20 and 260 style tokens land in different token buckets
+        assert _shape_key(_req(style_len=20)) != _shape_key(_req(style_len=260))
+
+    def test_merge_concatenates(self):
+        a = _req(dur=10.0, seeds=[1])
+        b = _req(dur=8.0, seeds=[2])        # clamps to 10 s -> same bucket
+        m = merge_requests([a, b])
+        assert m.batch_size == 2
+        assert m.seeds == [1, 2]
+        assert m.style_token_ids.shape[0] == 2
+        assert len(m.durations_s) == 2
+
+    def test_merge_different_lyric_lengths_same_bucket(self):
+        a = _req(lyric_len=9)
+        b = _req(lyric_len=3)                # both bucket to 32 tokens
+        m = merge_requests([a, b])
+        assert m.lyric_token_ids.shape[0] == 2
+        assert m.lyric_mask[0].sum() == 9 and m.lyric_mask[1].sum() == 3
+
+    def test_merge_rejects_incompatible(self):
+        with pytest.raises(AssertionError):
+            merge_requests([_req(lyric_len=9), _req()])   # lyric presence differs
+
+    def test_split_result(self):
+        res = GenerationResult(
+            audio=np.zeros((3, 100, 2)), latents=np.zeros((3, 10, 4)),
+            sample_rate=48000, time_costs={}, seeds=[1, 2, 3],
+            audio_lengths=[100, 80, 60],
+        )
+        parts = split_result(res, [1, 2])
+        assert parts[0].audio.shape[0] == 1 and parts[1].audio.shape[0] == 2
+        assert parts[1].seeds == [2, 3]
+        assert parts[1].audio_lengths == [80, 60]
+
+
+class TestBatcher:
+    def test_batches_compatible_requests(self):
+        calls = []
+
+        def run(req):
+            calls.append(req.batch_size)
+            time.sleep(0.02)
+            b = req.batch_size
+            return GenerationResult(
+                audio=np.zeros((b, 10, 2)), latents=np.zeros((b, 5, 4)),
+                sample_rate=48000, time_costs={}, seeds=list(req.seeds),
+                audio_lengths=[10] * b,
+            )
+
+        batcher = ContinuousBatcher(run, max_batch=4, max_wait_s=0.15).start()
+        try:
+            futs = [batcher.submit(_req(seeds=[i])) for i in range(4)]
+            results = [f.result(timeout=5) for f in futs]
+            assert all(r.audio.shape[0] == 1 for r in results)
+            assert [r.seeds for r in results] == [[0], [1], [2], [3]]
+            # the four compatible requests merged into at most 2 launches
+            assert len(calls) <= 2
+            assert sum(calls) == 4
+        finally:
+            batcher.stop()
+
+    def test_incompatible_requests_run_separately(self):
+        keys = []
+
+        def run(req):
+            keys.append(req.duration_s)
+            b = req.batch_size
+            return GenerationResult(
+                audio=np.zeros((b, 10, 2)), latents=np.zeros((b, 5, 4)),
+                sample_rate=48000, time_costs={}, seeds=list(req.seeds or [0] * b),
+                audio_lengths=[10] * b,
+            )
+
+        batcher = ContinuousBatcher(run, max_batch=4, max_wait_s=0.05).start()
+        try:
+            f1 = batcher.submit(_req(dur=10.0))
+            f2 = batcher.submit(_req(dur=60.0))
+            f1.result(timeout=5)
+            f2.result(timeout=5)
+            assert len(keys) == 2
+        finally:
+            batcher.stop()
+
+    def test_error_propagates(self):
+        def run(req):
+            raise RuntimeError("engine exploded")
+
+        batcher = ContinuousBatcher(run, max_batch=2, max_wait_s=0.05).start()
+        try:
+            f = batcher.submit(_req())
+            with pytest.raises(RuntimeError, match="exploded"):
+                f.result(timeout=5)
+        finally:
+            batcher.stop()
