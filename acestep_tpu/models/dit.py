@@ -57,8 +57,14 @@ def _normal(key, shape):
     return jax.random.normal(key, shape, jnp.float32)
 
 
+def _cast(x, dtype):
+    from acestep_tpu.utils import np_astype_fast
+
+    return np_astype_fast(x, dtype)
+
+
 def _dense(key, k, n, dtype, bias=True, scale=0.02):
-    p = {"kernel": (_normal(key, (k, n)) * scale).astype(dtype)}
+    p = {"kernel": _cast(_normal(key, (k, n)) * scale, dtype)}
     if bias:
         p["bias"] = jnp.zeros((n,), dtype)
     return p
@@ -158,9 +164,9 @@ def _init_params_impl(key: jax.Array, cfg: DiTConfig, dtype) -> Params:
         # convtranspose1d-as-linear: kernel [H, patch*audio], bias [audio]
         # (per output channel, like torch ConvTranspose1d)
         "proj_out": {
-            "kernel": (
-                _normal(nk(), (h, cfg.audio_acoustic_hidden_dim * cfg.patch_size)) * 0.02
-            ).astype(dtype),
+            "kernel": _cast(
+                _normal(nk(), (h, cfg.audio_acoustic_hidden_dim * cfg.patch_size)) * 0.02,
+                dtype),
             "bias": jnp.zeros((cfg.audio_acoustic_hidden_dim,), dtype),
         },
         # conditioning encoders (encoder.* namespace in the checkpoint)

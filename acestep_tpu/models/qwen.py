@@ -46,8 +46,10 @@ def init_params(
     nh, nkv, inter = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.intermediate_size
     keys = jax.random.split(key, cfg.num_hidden_layers + 2)
 
+    from acestep_tpu.utils import np_astype_fast
+
     def dense(k, kk, n):
-        return {"kernel": (normal(k, (kk, n)) * scale).astype(dtype)}
+        return {"kernel": np_astype_fast(normal(k, (kk, n)) * scale, dtype)}
 
     def layer(k):
         ks = jax.random.split(k, 7)
@@ -66,9 +68,7 @@ def init_params(
         }
 
     return {
-        "embed_tokens": (
-            normal(keys[0], (cfg.vocab_size, h)) * scale
-        ).astype(dtype),
+        "embed_tokens": np_astype_fast(normal(keys[0], (cfg.vocab_size, h)) * scale, dtype),
         "layers": [layer(keys[i + 1]) for i in range(cfg.num_hidden_layers)],
         "norm": jnp.ones((h,), dtype),
     }

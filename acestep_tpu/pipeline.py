@@ -406,39 +406,25 @@ def build_random_engine(
     # init + quantize entirely on the host CPU backend: hundreds of small one-off
     # TPU compiles (one per array shape) would otherwise dominate startup through
     # a remote-compile backend; one device_put ships the finished tree.
-    cpu = jax.devices("cpu")[0]
-    # fast host-side init: a shared N(0,1) pool sliced per tensor — real RNG for
-    # billions of params would dominate bench startup, and random-engine weights
-    # only need realistic magnitude statistics
-    pool_rng = np.random.default_rng(0)
-    pool = pool_rng.standard_normal(1 << 22, dtype=np.float32)
-    offset = [0]
-
-    def sampler(shape):
-        n = int(np.prod(shape))
-        start = offset[0] % len(pool)
-        offset[0] = (offset[0] + n * 7919 + 13) % (1 << 62)
-        out = np.resize(np.roll(pool, -start), n).reshape(shape)
-        return out
-
-    # keys/params must live on CPU — ops follow their operands' device, so a
-    # TPU-resident key would drag init back to the TPU one compile per shape
-    k1, k2, k3 = jax.device_put((k1, k2, k3), cpu)
-    with jax.default_device(cpu):
-        dit_params = dit.init_params(k1, dit_cfg, dtype=dtype, sampler=sampler)
-        vae_params = vae.init_params(k2, vae_cfg)
-        text_params = qwen.init_params(k3, text_cfg, dtype=dtype, sampler=sampler)
+    # one jitted build per model: init + quantize + stack in a single compiled
+    # graph on the default device (the host CPU here is far too slow for
+    # billion-param numpy work, and per-shape eager dispatch would mean hundreds
+    # of tiny one-off compiles; a single graph compiles once and caches)
+    def build_dit(k):
+        p = dit.init_params(k, dit_cfg, dtype=dtype)
         if quant:
-            dit_params = quantize_tree_jax(dit_params, quant)
-            text_params = quantize_tree_jax(text_params, quant)
-        dit_params = dit.stack_params(dit_params)
-        text_params = qwen.stack_params(text_params)
+            p = quantize_tree_jax(p, quant)
+        return dit.stack_params(p)
 
-    default = jax.devices()[0]
-    if default != cpu:
-        dit_params, vae_params, text_params = jax.device_put(
-            (dit_params, vae_params, text_params), default
-        )
+    def build_text(k):
+        p = qwen.init_params(k, text_cfg, dtype=dtype)
+        if quant:
+            p = quantize_tree_jax(p, quant)
+        return qwen.stack_params(p)
+
+    dit_params = jax.jit(build_dit)(k1)
+    vae_params = jax.jit(lambda k: vae.init_params(k, vae_cfg))(k2)
+    text_params = jax.jit(build_text)(k3)
     return AceStepEngine(
         dit_params, dit_cfg, vae_params, vae_cfg, text_params, text_cfg
     )

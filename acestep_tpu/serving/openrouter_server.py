@@ -1,0 +1,161 @@
+"""OpenAI Chat-Completions-compatible music API (analog of openrouter/
+openrouter_api_server.py + acestep/openrouter_adapter.py).
+
+POST /v1/chat/completions with messages; the last user message is parsed into
+generation params (openrouter_adapter.py:199-422 semantics: free text becomes
+the caption; fenced key: value blocks override metadata; [verse]-style sections
+become lyrics).  The response carries base64 WAV audio in the message content
+plus the generation metadata.  GET /v1/models lists the music "models".
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+META_LINE = re.compile(r"^(bpm|duration|keyscale|timesignature|language|genres)\s*:\s*(.+)$",
+                       re.IGNORECASE)
+SECTION = re.compile(r"^\[(verse|chorus|bridge|intro|outro|inst|hook|pre-chorus)[^\]]*\]",
+                     re.IGNORECASE)
+
+MODELS = [
+    {"id": "acestep/v15-turbo-tpu", "object": "model", "pricing": {"audio": "0"}},
+]
+
+
+def parse_chat_messages(messages: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Last user message -> {caption, lyrics, metadata} (adapter :199-422 rules)."""
+    user_text = ""
+    for m in reversed(messages):
+        if m.get("role") == "user":
+            c = m.get("content", "")
+            if isinstance(c, list):  # multi-part content
+                c = " ".join(p.get("text", "") for p in c if p.get("type") == "text")
+            user_text = c
+            break
+
+    metadata: Dict[str, Any] = {}
+    caption_lines: List[str] = []
+    lyric_lines: List[str] = []
+    in_lyrics = False
+    for line in user_text.split("\n"):
+        stripped = line.strip()
+        m = META_LINE.match(stripped)
+        if m and not in_lyrics:
+            key = m.group(1).lower()
+            val = m.group(2).strip()
+            if key in ("bpm", "duration"):
+                try:
+                    metadata[key] = int(float(val))
+                except ValueError:
+                    pass
+            else:
+                metadata[key] = val
+            continue
+        if SECTION.match(stripped):
+            in_lyrics = True
+        if in_lyrics:
+            lyric_lines.append(line)
+        elif stripped:
+            caption_lines.append(stripped)
+    return {
+        "caption": " ".join(caption_lines).strip(),
+        "lyrics": "\n".join(lyric_lines).strip(),
+        "metadata": metadata,
+    }
+
+
+def wav_base64(audio, sample_rate: int) -> str:
+    """Encode float audio [L, C] to base64 16-bit WAV."""
+    import numpy as np
+
+    from acestep_tpu.utils.audio import write_wav
+
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        write_wav(path, np.asarray(audio), sample_rate)
+        with open(path, "rb") as f:
+            return base64.b64encode(f.read()).decode()
+    finally:
+        os.unlink(path)
+
+
+class OpenRouterServer:
+    """generate_fn(parsed: dict) -> {"audio": [L,C] float, "sample_rate": int,
+    "metadata": dict}."""
+
+    def __init__(self, generate_fn: Callable[[Dict[str, Any]], Dict[str, Any]]):
+        self.generate_fn = generate_fn
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    def _make_handler(server):  # noqa: N805
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    return self._send(200, {"object": "list", "data": MODELS})
+                return self._send(404, {"error": {"message": "not found"}})
+
+            def do_POST(self):
+                if self.path != "/v1/chat/completions":
+                    return self._send(404, {"error": {"message": "not found"}})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    parsed = parse_chat_messages(body.get("messages", []))
+                    t0 = time.time()
+                    out = server.generate_fn(parsed)
+                    audio_b64 = wav_base64(out["audio"], out["sample_rate"])
+                    resp = {
+                        "id": f"gen-{uuid.uuid4().hex}",
+                        "object": "chat.completion",
+                        "created": int(time.time()),
+                        "model": body.get("model", MODELS[0]["id"]),
+                        "choices": [{
+                            "index": 0,
+                            "finish_reason": "stop",
+                            "message": {
+                                "role": "assistant",
+                                "content": json.dumps(out.get("metadata", {})),
+                                "audio": {
+                                    "data": audio_b64,
+                                    "format": "wav",
+                                },
+                            },
+                        }],
+                        "usage": {"generation_time_s": round(time.time() - t0, 3)},
+                    }
+                    return self._send(200, resp)
+                except Exception as e:  # noqa: BLE001
+                    return self._send(500, {"error": {"message": str(e)}})
+
+        return Handler
+
+    def start(self, host: str = "127.0.0.1", port: int = 8001) -> int:
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        return self._httpd.server_address[1]
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()

@@ -10,3 +10,6 @@ __all__ = [
     "f32_to_bf16_raw",
     "save_safetensors",
 ]
+
+from .np_cast import np_astype_fast  # noqa: E402
+__all__.append("np_astype_fast")

@@ -1,0 +1,72 @@
+"""OpenRouter-compatible server tests."""
+
+import base64
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from acestep_tpu.serving.openrouter_server import OpenRouterServer, parse_chat_messages
+from acestep_tpu.utils.audio import read_wav
+
+
+class TestParse:
+    def test_caption_metadata_lyrics(self):
+        msg = [{"role": "user", "content":
+                "dreamy synthwave with heavy bass\nbpm: 110\nduration: 30\n"
+                "[verse]\nneon lights again\n[chorus]\nrun away"}]
+        p = parse_chat_messages(msg)
+        assert p["caption"] == "dreamy synthwave with heavy bass"
+        assert p["metadata"]["bpm"] == 110 and p["metadata"]["duration"] == 30
+        assert "[verse]" in p["lyrics"] and "run away" in p["lyrics"]
+
+    def test_multipart_content(self):
+        msg = [{"role": "user", "content": [
+            {"type": "text", "text": "jazz piano"}, {"type": "image_url", "url": "x"}]}]
+        assert parse_chat_messages(msg)["caption"] == "jazz piano"
+
+    def test_takes_last_user_message(self):
+        msg = [
+            {"role": "user", "content": "first"},
+            {"role": "assistant", "content": "ok"},
+            {"role": "user", "content": "second request"},
+        ]
+        assert parse_chat_messages(msg)["caption"] == "second request"
+
+
+def test_chat_completion_roundtrip(tmp_path):
+    def gen(parsed):
+        assert parsed["caption"] == "calm piano"
+        audio = np.zeros((4800, 2), np.float32)
+        audio[:, 0] = np.sin(np.arange(4800) * 0.05) * 0.5
+        return {"audio": audio, "sample_rate": 48000,
+                "metadata": {"bpm": 80, **parsed["metadata"]}}
+
+    srv = OpenRouterServer(gen)
+    port = srv.start(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=json.dumps({
+                "model": "acestep/v15-turbo-tpu",
+                "messages": [{"role": "user", "content": "calm piano\nduration: 10"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as r:
+            out = json.loads(r.read())
+        msg = out["choices"][0]["message"]
+        meta = json.loads(msg["content"])
+        assert meta["bpm"] == 80 and meta["duration"] == 10
+        wav = base64.b64decode(msg["audio"]["data"])
+        p = tmp_path / "x.wav"
+        p.write_bytes(wav)
+        audio, sr = read_wav(str(p))
+        assert sr == 48000 and audio.shape == (4800, 2)
+        # models endpoint
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/models", timeout=5) as r:
+            models = json.loads(r.read())
+        assert models["data"][0]["id"].startswith("acestep/")
+    finally:
+        srv.stop()
