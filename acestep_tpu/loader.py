@@ -50,11 +50,14 @@ def _has(src, name: str) -> bool:
 
 
 def _maybe_quant(w: np.ndarray, fmt: Optional[str], dtype):
-    """w already in kernel layout [K, N]."""
+    """w already in kernel layout [K, N]; uses the native C++ quantizer when built
+    (the host numpy path is ~20x slower on the weak conversion CPUs)."""
     if fmt and w.ndim == 2 and w.size >= MIN_QUANT_ELEMS:
         eff = supported_format_for(w.shape[0], fmt)
         if eff not in ("f32", "bf16", "f16"):
-            return quantize_np(w, eff)
+            from acestep_tpu.quant.native_bridge import quantize_native
+
+            return quantize_native(w, eff)
     return jnp.asarray(w, dtype)
 
 

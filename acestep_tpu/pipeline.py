@@ -288,26 +288,29 @@ class AceStepEngine:
         cfg = self.dit_cfg
         audio_dim = cfg.audio_acoustic_hidden_dim
         ctx_dim = cfg.context_dim
+        # src fills min(audio, ctx) channels; the rest is chunk mask
+        # (acestep_ggml.cpp:1960-2040 src_dim = min(audio_dim, ctx_dim))
+        src_dim = min(audio_dim, ctx_dim)
+        mask_dim = ctx_dim - src_dim
 
         if req.task == "text2music" or req.src_latents is None:
-            src = jnp.broadcast_to(self._silence_frames(t), (b, t, audio_dim))
-            chunk = jnp.ones((b, t, ctx_dim - audio_dim), jnp.float32)
+            src = jnp.broadcast_to(self._silence_frames(t), (b, t, audio_dim))[:, :, :src_dim]
+            chunk = jnp.ones((b, t, mask_dim), jnp.float32)
         else:
             src = jnp.asarray(req.src_latents, jnp.float32)
             if src.shape[1] < t:
                 src = jnp.pad(src, ((0, 0), (0, t - src.shape[1]), (0, 0)))
-            src = src[:, :t, :]
+            src = src[:, :t, :src_dim]
             if req.task == "repaint":
                 start = int(req.repaint_start_s * LATENT_RATE)
                 end = t_valid if req.repaint_end_s < 0 else int(req.repaint_end_s * LATENT_RATE)
                 frames = jnp.arange(t)
                 inside = (frames >= start) & (frames < min(end, t_valid))
                 chunk = jnp.broadcast_to(
-                    inside.astype(jnp.float32)[None, :, None],
-                    (b, t, ctx_dim - audio_dim),
+                    inside.astype(jnp.float32)[None, :, None], (b, t, mask_dim)
                 )
             else:  # cover: regenerate everything conditioned on src
-                chunk = jnp.ones((b, t, ctx_dim - audio_dim), jnp.float32)
+                chunk = jnp.ones((b, t, mask_dim), jnp.float32)
         return jnp.concatenate([src, chunk.astype(jnp.float32)], axis=-1)
 
     # -- generation ---------------------------------------------------------

@@ -1,0 +1,162 @@
+"""Training loop: LoRA / full flow-matching fine-tune with checkpoint/resume.
+
+Analog of acestep/training/trainer.py (LoRATrainer :483, Fabric loop :614-979):
+warmup+cosine AdamW, grad-NaN auditing, periodic checkpoints with optimizer
+state, resume, and final adapter export (lora_utils.py:300-438).
+
+Checkpoints use orbax (train state) + the native safetensors format for the
+final exported adapter/weights.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+import optax
+
+from acestep_tpu.config import DiTConfig
+from acestep_tpu.training.flow_matching import make_optimizer, make_train_step
+from acestep_tpu.training.lora import apply_lora, init_lora, make_lora_train_step
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    total_steps: int = 1000
+    clip_norm: float = 1.0
+    lora_rank: int = 16
+    lora_alpha: float = 16.0
+    mode: str = "lora"                  # lora | full
+    shift: float = 3.0
+    checkpoint_every: int = 200
+    log_every: int = 10
+
+
+class Trainer:
+    """Drives training over a batch iterator; owns opt/checkpoint state."""
+
+    def __init__(
+        self,
+        base_params: Any,
+        cfg: DiTConfig,
+        train_cfg: TrainConfig,
+        out_dir: str,
+        seed: int = 0,
+    ):
+        self.base_params = base_params
+        self.cfg = cfg
+        self.tc = train_cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.opt = make_optimizer(
+            lr=train_cfg.lr, weight_decay=train_cfg.weight_decay,
+            warmup_steps=train_cfg.warmup_steps, total_steps=train_cfg.total_steps,
+            clip_norm=train_cfg.clip_norm,
+        )
+        key = jax.random.key(seed)
+        if train_cfg.mode == "lora":
+            self.trainable = init_lora(key, base_params, rank=train_cfg.lora_rank)
+            self.step_fn = make_lora_train_step(
+                base_params, cfg, self.opt, alpha=train_cfg.lora_alpha,
+                shift=train_cfg.shift,
+            )
+        else:
+            self.trainable = base_params
+            self.step_fn = make_train_step(cfg, self.opt, shift=train_cfg.shift)
+        self.opt_state = self.opt.init(self.trainable)
+        self.step = 0
+        self.history: list = []
+        self._key = jax.random.key(seed + 1)
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _ckpt_dir(self, step: int) -> str:
+        return os.path.join(self.out_dir, f"ckpt_{step:07d}")
+
+    def save_checkpoint(self) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(self._ckpt_dir(self.step))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, {"trainable": self.trainable, "opt_state": self.opt_state})
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"step": self.step, "history": self.history[-100:]}, f)
+        return path
+
+    def resume(self, step: Optional[int] = None) -> bool:
+        import orbax.checkpoint as ocp
+
+        if step is None:
+            ckpts = sorted(
+                d for d in os.listdir(self.out_dir)
+                if d.startswith("ckpt_") and not d.endswith(".meta.json")
+            )
+            if not ckpts:
+                return False
+            step = int(ckpts[-1].split("_")[1])
+        path = os.path.abspath(self._ckpt_dir(step))
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                path, item={"trainable": self.trainable, "opt_state": self.opt_state}
+            )
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.step = meta["step"]
+            self.history = meta.get("history", [])
+        else:
+            self.step = step
+        return True
+
+    def export(self, name: str = "adapter") -> str:
+        """Export the trained weights (LoRA tree or full params) to the native
+        safetensors format (lora_utils.py:417-438 final adapter export)."""
+        from acestep_tpu import loader
+
+        path = os.path.join(self.out_dir, name)
+        loader.save_params(path, self.trainable, {"mode": self.tc.mode,
+                                                  "step": str(self.step)})
+        return path
+
+    def merged_params(self) -> Any:
+        if self.tc.mode == "lora":
+            return apply_lora(self.base_params, self.trainable, self.tc.lora_alpha)
+        return self.trainable
+
+    # -- loop ----------------------------------------------------------------
+
+    def train(
+        self,
+        batches: Iterator[Dict[str, Any]],
+        max_steps: Optional[int] = None,
+        log_fn: Callable[[str], None] = print,
+    ) -> Dict[str, Any]:
+        max_steps = max_steps or self.tc.total_steps
+        t0 = time.perf_counter()
+        for batch in batches:
+            if self.step >= max_steps:
+                break
+            self._key, sub = jax.random.split(self._key)
+            self.trainable, self.opt_state, loss = self.step_fn(
+                self.trainable, self.opt_state, batch, sub
+            )
+            self.step += 1
+            loss_f = float(loss)
+            self.history.append(loss_f)
+            if self.step % self.tc.log_every == 0:
+                log_fn(f"step {self.step}: loss {loss_f:.5f} "
+                       f"({self.step / (time.perf_counter() - t0):.2f} it/s)")
+            if self.tc.checkpoint_every and self.step % self.tc.checkpoint_every == 0:
+                self.save_checkpoint()
+        return {"steps": self.step, "final_loss": self.history[-1] if self.history else None}
