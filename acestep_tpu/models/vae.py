@@ -246,7 +246,10 @@ def tiled_decode(
     sizes occur, so the jitted decode compiles at most 3 times per seq bucket."""
     b, t, c = latents.shape
     if decode_fn is None:
-        decode_fn = jax.jit(lambda lat: decode(params, cfg, lat))
+        # params must be jit ARGUMENTS, not closure constants: closed-over
+        # weights get embedded in the HLO (100MB+ compile payloads)
+        jitted = jax.jit(lambda p, lat: decode(p, cfg, lat))
+        decode_fn = lambda lat: jitted(params, lat)
     if chunk_frames <= 0 or chunk_frames >= t:
         return decode_fn(latents)
 
@@ -288,7 +291,8 @@ def tiled_encode(
     b, l, c = audio.shape
     t = l // hop
     if encode_fn is None:
-        encode_fn = jax.jit(lambda a: encode(params, cfg, a))
+        jitted = jax.jit(lambda p, a: encode(p, cfg, a))
+        encode_fn = lambda a: jitted(params, a)
     if chunk_frames <= 0 or chunk_frames >= t:
         return encode_fn(audio[:, : t * hop, :])
 

@@ -187,9 +187,11 @@ class AceStepEngine:
         self.vae_cfg = vae_cfg
         self.text_params = qwen.stack_params(text_params) if text_params else None
         self.text_cfg = text_cfg
-        self._vae_decode_jit = jax.jit(
-            lambda lat: vae.decode(self.vae_params, self.vae_cfg, lat)
+        # params are jit arguments (closure constants would be embedded in HLO)
+        self._vae_decode_raw = jax.jit(
+            lambda p, lat: vae.decode(p, self.vae_cfg, lat)
         )
+        self._vae_decode_jit = lambda lat: self._vae_decode_raw(self.vae_params, lat)
         self._text_forward_jit = None
         if silence_latent is not None:
             self._silence = jnp.asarray(silence_latent, jnp.float32)
@@ -216,10 +218,10 @@ class AceStepEngine:
             raise ValueError("no text encoder loaded")
         if self._text_forward_jit is None:
             self._text_forward_jit = jax.jit(
-                lambda ids, m: qwen.forward(self.text_params, self.text_cfg, ids, m)
+                lambda p, ids, m: qwen.forward(p, self.text_cfg, ids, m)
             )
         hs = self._text_forward_jit(
-            jnp.asarray(token_ids, jnp.int32), jnp.asarray(mask)
+            self.text_params, jnp.asarray(token_ids, jnp.int32), jnp.asarray(mask)
         )
         return dit.text_projector(self.dit_params, hs)
 

@@ -151,12 +151,12 @@ def make_lora_train_step(
     loss / NaN guard as the full trainer."""
     from acestep_tpu.training.flow_matching import flow_matching_loss
 
-    def loss_fn(lora, batch, key):
-        merged = apply_lora(base_params, lora, alpha)
+    def loss_fn(lora, base, batch, key):
+        merged = apply_lora(base, lora, alpha)
         return flow_matching_loss(merged, cfg, batch, key, shift)
 
-    def step(lora, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(lora, batch, key)
+    def step_impl(lora, base, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(lora, base, batch, key)
         finite = jnp.all(jnp.stack(
             [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
         ))
@@ -170,4 +170,10 @@ def make_lora_train_step(
         )
         return new_lora, new_state, loss
 
-    return jax.jit(step) if jit else step
+    # base params ride as a jit argument (not a closure constant in the HLO)
+    run = jax.jit(step_impl) if jit else step_impl
+
+    def step(lora, opt_state, batch, key):
+        return run(lora, base_params, opt_state, batch, key)
+
+    return step
