@@ -1,0 +1,226 @@
+"""FSM-constrained metadata decoding for the CoT phase.
+
+Analog of acestep/constrained_logits_processor.py (MetadataConstrainedLogitsProcessor
+:81): during Phase 1 the LM must emit the metadata block in the canonical field
+order with value-constrained tokens:
+
+    bpm: <int>            (numeric trie)
+    timesignature: <int>
+    keyscale: <key> major|minor   (keyscale trie, :676-911)
+    duration: <int>
+    language: <code>      (language trie)
+    caption: <free text until newline>
+    genres: <genre vocab> (genres trie, :953-1270)
+    </think>
+
+User-provided metadata is injected verbatim (:425): the FSM force-feeds the
+exact token sequence for fixed fields.  The codes phase (audio-code range mask +
+duration-constrained EOS) lives in serving.lm.SamplingParams.
+
+The FSM is tokenizer-agnostic: it consumes decoded token STRINGS and exposes
+``allowed_token_mask`` over a vocab list.  Generation runs with the jitted
+single-step decode + host-side masking (the reference's logits processor is a
+host hook as well).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+FIELD_ORDER = ("bpm", "timesignature", "keyscale", "duration", "language",
+               "caption", "genres")
+
+KEYS = ["C", "C#", "Db", "D", "D#", "Eb", "E", "F", "F#", "Gb", "G", "G#",
+        "Ab", "A", "A#", "Bb", "B"]
+KEYSCALES = [f"{k} {m}" for k in KEYS for m in ("major", "minor")]
+
+LANGUAGES = ["en", "zh", "ja", "ko", "es", "fr", "de", "it", "pt", "ru",
+             "ar", "hi", "tr", "vi", "th", "id", "nl", "pl", "sv", "he"]
+
+DEFAULT_GENRES = [
+    "pop", "rock", "jazz", "classical", "electronic", "hip hop", "r&b",
+    "country", "folk", "metal", "blues", "reggae", "soul", "funk", "ambient",
+    "house", "techno", "trance", "punk", "indie", "synthwave", "neo-soul",
+    "lo-fi", "orchestral", "acoustic", "latin", "afrobeat", "k-pop", "city pop",
+]
+
+FIELD_RANGES = {"bpm": (30, 300), "timesignature": (1, 12), "duration": (10, 600)}
+
+
+class TokenTrie:
+    """Prefix trie over strings; tells which next CHARACTERS keep a valid prefix."""
+
+    def __init__(self, values: Sequence[str]):
+        self.values = set(values)
+        self.prefixes: Set[str] = set()
+        for v in values:
+            for i in range(len(v) + 1):
+                self.prefixes.add(v[:i])
+
+    def valid_continuations(self, prefix: str, piece: str) -> bool:
+        return (prefix + piece) in self.prefixes
+
+    def is_complete(self, text: str) -> bool:
+        return text in self.values
+
+
+@dataclasses.dataclass
+class FSMConfig:
+    genres_vocab: Sequence[str] = tuple(DEFAULT_GENRES)
+    max_caption_chars: int = 300
+    fields: Sequence[str] = FIELD_ORDER
+
+
+class MetadataFSM:
+    """Tracks CoT generation state and constrains the next token.
+
+    Works on the token-string level: call ``step(token_str)`` after each emitted
+    token; query ``allowed(token_strs)`` -> bool mask for the candidate vocab.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[FSMConfig] = None,
+        user_metadata: Optional[Dict[str, object]] = None,
+    ):
+        self.cfg = cfg or FSMConfig()
+        self.user = {k: str(v) for k, v in (user_metadata or {}).items()}
+        self.tries = {
+            "keyscale": TokenTrie(KEYSCALES),
+            "language": TokenTrie(LANGUAGES),
+            "genres": TokenTrie(list(self.cfg.genres_vocab)),
+        }
+        self.field_idx = 0
+        self.mode = "key"         # key | value | done
+        self.value_text = ""
+        self.forced_text: Optional[str] = None   # remaining forced chars
+        self._begin_field()
+
+    # -- state machinery -----------------------------------------------------
+
+    @property
+    def current_field(self) -> Optional[str]:
+        if self.field_idx < len(self.cfg.fields):
+            return self.cfg.fields[self.field_idx]
+        return None
+
+    def _begin_field(self):
+        f = self.current_field
+        if f is None:
+            self.mode = "done"
+            self.forced_text = "</think>"
+            return
+        self.mode = "key"
+        self.value_text = ""
+        self.forced_text = f"{f}: "
+
+    def _finish_value(self):
+        self.field_idx += 1
+        self._begin_field()
+
+    def _value_ok(self, f: str, text: str, partial: bool) -> bool:
+        if f in FIELD_RANGES:
+            if not text:
+                return True
+            if not text.isdigit() or text[0] == "0":
+                return False
+            lo, hi = FIELD_RANGES[f]
+            if partial:
+                # valid iff some digit extension lands in [lo, hi]
+                max_len = len(str(hi))
+                if len(text) > max_len:
+                    return False
+                v = int(text)
+                for extra in range(max_len - len(text) + 1):
+                    low = v * 10 ** extra
+                    high = low + 10 ** extra - 1
+                    if low <= hi and high >= lo:
+                        return True
+                return False
+            return lo <= int(text) <= hi
+        if f in self.tries:
+            return (text in self.tries[f].prefixes) if partial \
+                else self.tries[f].is_complete(text)
+        if f == "caption":
+            return len(text) <= self.cfg.max_caption_chars and "\n" not in text
+        return True
+
+    # -- public API ----------------------------------------------------------
+
+    def allowed_piece(self, piece: str) -> bool:
+        """Would emitting token-string ``piece`` keep the output valid?"""
+        if self.forced_text is not None:
+            return self.forced_text.startswith(piece) or piece.startswith(self.forced_text)
+        f = self.current_field
+        if f is None:
+            return False
+        # in value mode: either extend the value, or end it with a newline
+        if "\n" in piece:
+            before = piece.split("\n", 1)[0]
+            text = self.value_text + before
+            return self._value_ok(f, text, partial=False) and bool(text)
+        user_val = self.user.get(f)
+        if user_val is not None:
+            target = user_val[len(self.value_text):]
+            return target.startswith(piece)
+        return self._value_ok(f, self.value_text + piece, partial=True)
+
+    def allowed(self, token_strs: Sequence[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.allowed_piece(t) for t in token_strs), dtype=bool,
+            count=len(token_strs),
+        )
+
+    def step(self, piece: str) -> None:
+        """Advance the FSM with an emitted token string."""
+        if self.forced_text is not None:
+            if piece.startswith(self.forced_text):
+                # token covered the forced text (and maybe more)
+                rest = piece[len(self.forced_text):]
+                self.forced_text = None
+                if self.mode == "done":
+                    return
+                self.mode = "value"
+                if rest:
+                    self.step(rest)
+            else:
+                self.forced_text = self.forced_text[len(piece):]
+            return
+        if "\n" in piece:
+            self._finish_value()
+            trailing = piece.split("\n", 1)[1]
+            if trailing:
+                self.step(trailing)
+            return
+        self.value_text += piece
+
+    @property
+    def done(self) -> bool:
+        return self.mode == "done" and self.forced_text is None
+
+
+def fsm_generate_text(
+    fsm: MetadataFSM,
+    sample_fn,
+    vocab: Sequence[str],
+    max_tokens: int = 256,
+) -> str:
+    """Drive token-by-token generation under the FSM.
+
+    ``sample_fn(mask: np.ndarray[bool]) -> int`` produces the next token id given
+    the allowed mask (host hook around the jitted decode step)."""
+    out: List[str] = []
+    for _ in range(max_tokens):
+        if fsm.done:
+            break
+        mask = fsm.allowed(vocab)
+        if not mask.any():
+            break
+        tok = int(sample_fn(mask))
+        piece = vocab[tok]
+        out.append(piece)
+        fsm.step(piece)
+    return "".join(out)

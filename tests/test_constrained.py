@@ -1,0 +1,94 @@
+"""Metadata FSM constrained-decoding tests."""
+
+import numpy as np
+import pytest
+
+from acestep_tpu import lm_pipeline as lp
+from acestep_tpu.constrained import (
+    FIELD_RANGES,
+    KEYSCALES,
+    FSMConfig,
+    MetadataFSM,
+    fsm_generate_text,
+)
+
+# character-level vocab plus a few multi-char tokens (realistic BPE-ish)
+VOCAB = [chr(c) for c in range(32, 127)] + ["\n", "major", "minor", "12", "en",
+                                            "bpm: ", "</think>", "ja", "zz"]
+
+
+def _greedy_fsm(user_metadata=None, seed=0, prefer=None):
+    """Drive the FSM with a random-but-valid sampler."""
+    rng = np.random.default_rng(seed)
+    fsm = MetadataFSM(user_metadata=user_metadata)
+
+    def sample(mask):
+        ids = np.nonzero(mask)[0]
+        if prefer is not None:
+            for p in prefer:
+                if p in [VOCAB[i] for i in ids]:
+                    return VOCAB.index(p)
+        return int(rng.choice(ids))
+
+    return fsm_generate_text(fsm, sample, VOCAB, max_tokens=400), fsm
+
+
+def test_output_parses_and_respects_order():
+    text, fsm = _greedy_fsm(seed=3)
+    assert fsm.done
+    full = "<think>\n" + text.replace("</think>", "\n</think>")
+    md, _ = lp.parse_lm_output(full)
+    for f in ("bpm", "timesignature", "duration"):
+        lo, hi = FIELD_RANGES[f]
+        assert lo <= int(md[f]) <= hi, (f, md)
+    assert md["keyscale"] in KEYSCALES
+    # fields appear in canonical order
+    idx = [text.index(f + ": ") for f in ("bpm", "timesignature", "keyscale",
+                                          "duration", "language", "caption", "genres")]
+    assert idx == sorted(idx)
+    assert text.endswith("</think>")
+
+
+def test_user_metadata_injected_verbatim():
+    text, fsm = _greedy_fsm(user_metadata={"bpm": 128, "keyscale": "F# minor"})
+    assert "bpm: 128\n" in text
+    assert "keyscale: F# minor\n" in text
+
+
+def test_numeric_range_enforced():
+    fsm = MetadataFSM()
+    # consume forced "bpm: "
+    fsm.step("bpm: ")
+    assert fsm.allowed_piece("2")
+    fsm.step("2")
+    fsm.step("9")
+    fsm.step("9")
+    assert not fsm.allowed_piece("9")      # 2999 would exceed 300
+    assert fsm.allowed_piece("\n")         # 299 is valid
+
+
+def test_keyscale_trie():
+    fsm = MetadataFSM()
+    for f in ("bpm", "timesignature"):
+        fsm.step(f + ": ")
+        fsm.step("4")
+        fsm.step("\n")
+    fsm.step("keyscale: ")
+    assert fsm.allowed_piece("F")
+    fsm.step("F")
+    assert fsm.allowed_piece("#")
+    assert not fsm.allowed_piece("z")
+    fsm.step("# ")
+    assert fsm.allowed_piece("minor")
+    assert not fsm.allowed_piece("\n")     # incomplete value can't end
+
+
+def test_multi_char_tokens_cross_boundaries():
+    fsm = MetadataFSM()
+    assert fsm.allowed_piece("bpm: ")      # whole forced key in one token
+    fsm.step("bpm: ")
+    assert fsm.allowed_piece("12")          # multi-char numeric token (-> 12x reachable)
+    fsm.step("12")
+    assert not fsm.allowed_piece("\n")      # 12 < bpm lower bound 30
+    fsm.step("0")                           # 120
+    assert fsm.allowed_piece("\n")
