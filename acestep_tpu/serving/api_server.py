@@ -160,6 +160,24 @@ class ApiServer:
                 return json.loads(self.rfile.read(n) or b"{}")
 
             def do_GET(self):
+                if self.path in ("/", "/studio"):
+                    import os
+
+                    page = os.path.join(
+                        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "ui", "studio.html",
+                    )
+                    try:
+                        with open(page, "rb") as f:
+                            body = f.read()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/html; charset=utf-8")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
+                    except OSError:
+                        return self._send(404, {"error": "studio UI missing"})
                 if self.path == "/health":
                     return self._send(200, {"status": "ok"})
                 if not self._auth_ok():
