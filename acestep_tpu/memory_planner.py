@@ -1,0 +1,116 @@
+"""Static HBM budget planner (TPU analog of the reference's VRAM admission
+control: _vram_guard_reduce_batch handler.py:1297-1387, VAE chunk auto-sizing
+:1217-1269, gpu_config tiers).
+
+On TPU there is no CPU-offload ladder; instead the planner sizes batch and VAE
+chunking AHEAD of launch from a static activation-memory model, so requests
+never OOM mid-flight."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+from acestep_tpu.config import DiTConfig, VAEConfig
+
+GiB = 1024 ** 3
+
+# per-chip HBM for known TPU generations (bytes)
+HBM_BYTES = {
+    "v4": 32 * GiB,
+    "v5e": 16 * GiB,
+    "v5p": 95 * GiB,
+    "v6e": 32 * GiB,
+}
+DEFAULT_HBM = 16 * GiB          # v5e
+SAFETY_MARGIN = 1.5 * GiB       # compiler scratch + fragmentation headroom
+
+
+def detect_hbm_bytes() -> int:
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+        kind = getattr(d, "device_kind", "").lower()
+        for gen, size in HBM_BYTES.items():
+            if gen in kind:
+                return size
+    except Exception:
+        pass
+    return DEFAULT_HBM
+
+
+def tree_bytes(params: Any) -> int:
+    import jax
+
+    return sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(params))
+
+
+def dit_activation_bytes(cfg: DiTConfig, batch: int, frames: int) -> int:
+    """Peak activation estimate for one DiT forward at bf16.
+
+    Dominated by attention scores on full-attention layers
+    (B * heads * Tp^2 * 4 bytes in f32 softmax) plus a few hidden-state
+    residency copies; sliding layers are banded but XLA materializes the same
+    masked scores tensor, so we budget the dense shape."""
+    tp = (frames + cfg.patch_size - 1) // cfg.patch_size
+    scores = 4 * batch * cfg.num_attention_heads * tp * tp        # f32
+    hidden = 2 * batch * tp * cfg.hidden_size
+    mlp = 2 * batch * tp * cfg.intermediate_size
+    # ~6 live hidden-sized tensors + 2 mlp-sized + 1 score tensor at peak
+    return scores + 6 * hidden + 2 * mlp
+
+
+def vae_decode_bytes_per_frame(cfg: VAEConfig) -> int:
+    """f32 activation bytes per latent frame of decode (full-rate conv stack:
+    channels * hop * 4 bytes with ~4 live tensors at the widest layer)."""
+    widest = cfg.decoder_channels * max(cfg.channel_multiples)
+    return 4 * widest * cfg.hop_length // max(cfg.upsampling_ratios) * 4
+
+
+@dataclasses.dataclass
+class Plan:
+    max_batch: int
+    vae_chunk_frames: int
+    fits: bool
+    detail: Dict[str, int]
+
+
+def plan_request(
+    dit_cfg: DiTConfig,
+    vae_cfg: VAEConfig,
+    param_bytes: int,
+    batch: int,
+    frames: int,
+    hbm_bytes: Optional[int] = None,
+) -> Plan:
+    """Clamp batch / VAE chunk so the request fits in HBM (admission control)."""
+    hbm = hbm_bytes if hbm_bytes is not None else detect_hbm_bytes()
+    budget = hbm - SAFETY_MARGIN - param_bytes
+
+    b = max(1, batch)
+    while b > 1 and dit_activation_bytes(dit_cfg, b, frames) > budget:
+        b -= 1
+    dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
+
+    vae_budget = budget - 0  # VAE runs after diffusion; latents are small
+    per_frame = vae_decode_bytes_per_frame(vae_cfg) * b
+    chunk = 512
+    while chunk > 16 and chunk * per_frame > vae_budget:
+        chunk //= 2
+    fits = dit_bytes <= budget and chunk * per_frame <= vae_budget
+    return Plan(
+        max_batch=b,
+        vae_chunk_frames=chunk,
+        fits=fits,
+        detail={
+            "hbm_bytes": hbm,
+            "param_bytes": param_bytes,
+            "dit_activation_bytes": dit_bytes,
+            "vae_bytes_per_frame": per_frame,
+            "budget": int(budget),
+        },
+    )
