@@ -354,7 +354,7 @@ class AceStepEngine:
         schedule = sampler.get_timestep_schedule(req.shift, req.timesteps)
 
         t1 = time.perf_counter()
-        latents = sampler.sample_latents(
+        latents = sampler.sample(
             self.dit_params, self.dit_cfg, noise, ctx, enc, enc_mask, schedule,
             infer_method=req.infer_method,
             sde_key=jax.random.key(seeds[0]),

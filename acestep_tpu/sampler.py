@@ -164,3 +164,93 @@ def sample_latents(
 
     xt, _ = jax.lax.scan(body, xt, (step_idx, ts, ts_next, sde_keys))
     return xt
+
+
+# ---------------------------------------------------------------------------
+# stepwise variant: jitted single step + host loop.
+#
+# Same math as sample_latents, but the compile unit is ONE DiT forward instead
+# of scan(8 steps){...}: ~4x smaller XLA graph.  On backends with slow remote
+# compilation (the dev tunnel) this is the difference between minutes and tens
+# of minutes of cold compile; per-step dispatch overhead (~ms) is negligible
+# against 100ms+ steps.  Select with ACESTEP_TPU_SAMPLER=scan|step.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_attn_mask"))
+def _prepare_condition_kv(params, cfg, encoder_hidden_states, use_attn_mask=False):
+    enc = dit.compute_condition(params, cfg, encoder_hidden_states.astype(jnp.bfloat16))
+    return dit.compute_all_cross_kv(params, cfg, enc)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "is_last", "use_attn_mask"))
+def _euler_step(
+    params, cfg, xt, t, t_next, context_latents, kv, attn_mask,
+    is_last=False, use_attn_mask=False,
+):
+    b = xt.shape[0]
+    t_b = jnp.full((b,), t, jnp.float32)
+    vt = dit.forward(
+        params, cfg, xt.astype(jnp.bfloat16), t_b, t_b,
+        context_latents=context_latents,
+        attn_mask=attn_mask if use_attn_mask else None,
+        cross_kv_cache=kv,
+    ).astype(jnp.float32)
+    if is_last:
+        return xt - vt * t
+    return xt - vt * (t - t_next)
+
+
+def sample_latents_stepwise(
+    params: Dict[str, Any],
+    cfg: DiTConfig,
+    noise: jax.Array,
+    context_latents: jax.Array,
+    encoder_hidden_states: jax.Array,
+    encoder_attn_mask: Optional[jax.Array],
+    schedule: Tuple[float, ...],
+    *,
+    infer_method: str = "ode",
+    sde_key: Optional[jax.Array] = None,
+    cover_steps: int = 0,
+    encoder_hidden_states_non_cover: Optional[jax.Array] = None,
+    context_latents_non_cover: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+    use_attn_mask: bool = False,
+) -> jax.Array:
+    """Host-looped Euler sampler; numerically identical to sample_latents (ODE).
+
+    SDE re-noising uses per-step folds of ``sde_key``."""
+    kv = _prepare_condition_kv(params, cfg, encoder_hidden_states, use_attn_mask)
+    has_cover = encoder_hidden_states_non_cover is not None
+    if has_cover:
+        kv_nc = _prepare_condition_kv(params, cfg, encoder_hidden_states_non_cover, use_attn_mask)
+
+    xt = noise.astype(jnp.float32)
+    n_steps = len(schedule)
+    if sde_key is None:
+        sde_key = jax.random.key(0)
+    for i, t in enumerate(schedule):
+        use_nc = has_cover and i >= cover_steps
+        kv_i = kv_nc if use_nc else kv
+        ctx_i = context_latents_non_cover if use_nc else context_latents
+        is_last = i == n_steps - 1
+        t_next = 0.0 if is_last else schedule[i + 1]
+        if infer_method == "sde" and not is_last:
+            # x0 prediction + re-noise (generate.py:187-192)
+            x0 = _euler_step(params, cfg, xt, t, 0.0, ctx_i, kv_i, attn_mask,
+                             is_last=True, use_attn_mask=use_attn_mask)
+            eps = jax.random.normal(jax.random.fold_in(sde_key, i), xt.shape, jnp.float32)
+            xt = t_next * eps + (1.0 - t_next) * x0
+        else:
+            xt = _euler_step(params, cfg, xt, t, t_next, ctx_i, kv_i, attn_mask,
+                             is_last=is_last, use_attn_mask=use_attn_mask)
+    return xt
+
+
+def sample(params, cfg, *args, **kwargs):
+    """Dispatch on ACESTEP_TPU_SAMPLER (step | scan); default step."""
+    import os
+
+    mode = os.environ.get("ACESTEP_TPU_SAMPLER", "step")
+    fn = sample_latents if mode == "scan" else sample_latents_stepwise
+    return fn(params, cfg, *args, **kwargs)

@@ -139,3 +139,26 @@ def test_cover_switch(setup):
     )
     pure = np.asarray(sampler.sample_latents(params, TINY, noise, ctx, enc, None, schedule))
     assert np.abs(mixed - pure).max() > 1e-4
+
+
+def test_stepwise_matches_scan(setup):
+    """The stepwise sampler must match the scan sampler exactly (ODE path)."""
+    params, noise, ctx, enc = setup
+    schedule = sampler.get_timestep_schedule(3.0)
+    scan_out = np.asarray(sampler.sample_latents(
+        params, TINY, noise, ctx, enc, None, schedule))
+    step_out = np.asarray(sampler.sample_latents_stepwise(
+        params, TINY, noise, ctx, enc, None, schedule))
+    np.testing.assert_allclose(scan_out, step_out, atol=2e-5, rtol=2e-5)
+
+
+def test_stepwise_cover_switch(setup):
+    params, noise, ctx, enc = setup
+    schedule = sampler.get_timestep_schedule(3.0)
+    out = np.asarray(sampler.sample_latents_stepwise(
+        params, TINY, noise, ctx, enc, None, schedule,
+        cover_steps=4, encoder_hidden_states_non_cover=enc * 0.5,
+        context_latents_non_cover=ctx * 0.5))
+    base = np.asarray(sampler.sample_latents_stepwise(
+        params, TINY, noise, ctx, enc, None, schedule))
+    assert np.abs(out - base).max() > 1e-4
