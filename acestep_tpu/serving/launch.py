@@ -1,0 +1,150 @@
+"""Server entry point: wire an engine + LM into the REST / OpenRouter servers.
+
+Usage:
+    python -m acestep_tpu.serving.launch api        [--port 8000] [--checkpoint DIR]
+    python -m acestep_tpu.serving.launch openrouter [--port 8001] [--checkpoint DIR]
+
+Without --checkpoint a random-weight engine is built (smoke/demo mode).  The
+payload schema matches the studio UI / reference release_task params
+(api_server.py:849-895 alias parsing, simplified).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+
+def build_engine(checkpoint: Optional[str], quant: str):
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from acestep_tpu import loader
+    from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+    from acestep_tpu.pipeline import AceStepEngine, build_random_engine
+
+    if checkpoint:
+        return AceStepEngine(
+            loader.load_params(os.path.join(checkpoint, "dit")), DiTConfig(),
+            loader.load_params(os.path.join(checkpoint, "vae")), VAEConfig(),
+            loader.load_params(os.path.join(checkpoint, "text_encoder")), QwenConfig(),
+        )
+    return build_random_engine(jax.random.key(0), quant=None if quant == "bf16" else quant)
+
+
+def make_generate_fn(engine, tokenizer=None):
+    """payload dict -> result dict (audio base64 + metadata + timings)."""
+    import numpy as np
+
+    from acestep_tpu.pipeline import GenerationRequest
+    from acestep_tpu.utils.audio import peak_normalize, write_wav
+
+    def tokenize(text: str, cap: int):
+        if tokenizer is not None:
+            ids = tokenizer.encode(text)[:cap]
+            return np.asarray([ids], np.int32) if ids else None
+        if not text:
+            return None
+        # demo-mode fallback: byte-level ids (real deployments pass a tokenizer)
+        ids = [b % 32000 for b in text.encode()][:cap]
+        return np.asarray([ids], np.int32)
+
+    def generate(payload: Dict[str, Any]) -> Dict[str, Any]:
+        import tempfile
+
+        caption = payload.get("caption", "") or payload.get("prompt", "")
+        lyrics = payload.get("lyrics", "")
+        req = GenerationRequest(
+            duration_s=float(payload.get("duration", 30) or 30),
+            style_token_ids=tokenize(caption, 256),
+            lyric_token_ids=tokenize(lyrics, 2048),
+            task=payload.get("task_type", "text2music"),
+            seeds=[int(payload.get("seed", 0) or 0)],
+            shift=float(payload.get("shift", 3.0) or 3.0),
+            infer_method=payload.get("infer_method", "ode"),
+            batch_size=int(payload.get("batch_size", 1) or 1),
+        )
+        res = engine.generate(req)
+        audio = peak_normalize(res.audio[0])
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            path = f.name
+        try:
+            write_wav(path, audio, res.sample_rate)
+            with open(path, "rb") as f:
+                audio_b64 = base64.b64encode(f.read()).decode()
+        finally:
+            os.unlink(path)
+        return {
+            "audio_base64": audio_b64,
+            "sample_rate": res.sample_rate,
+            "metadata": {k: payload.get(k) for k in
+                         ("caption", "bpm", "duration", "keyscale") if payload.get(k)},
+            "time_costs": {k: round(v, 3) for k, v in res.time_costs.items()},
+            "seeds": res.seeds,
+        }
+
+    return generate
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["api", "openrouter"])
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--quant", default=os.environ.get("ACESTEP_TPU_QUANT", "q8_0"))
+    args = ap.parse_args(argv)
+
+    print(f"building engine (quant={args.quant}, checkpoint={args.checkpoint})...",
+          file=sys.stderr)
+    engine = build_engine(args.checkpoint, args.quant)
+    generate = make_generate_fn(engine)
+
+    if args.mode == "api":
+        from acestep_tpu.serving.api_server import ApiServer
+
+        srv = ApiServer(generate)
+        port = srv.start(args.host, args.port or 8000)
+        print(f"API + studio at http://{args.host}:{port}/  (POST /release_task)")
+    else:
+        from acestep_tpu.serving.openrouter_server import OpenRouterServer
+
+        def or_generate(parsed):
+            out = generate({**parsed["metadata"], "caption": parsed["caption"],
+                            "lyrics": parsed["lyrics"]})
+            import numpy as np
+
+            audio = base64.b64decode(out["audio_base64"])
+            from acestep_tpu.utils.audio import read_wav
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                f.write(audio)
+                p = f.name
+            arr, sr = read_wav(p)
+            os.unlink(p)
+            return {"audio": arr, "sample_rate": sr, "metadata": out["metadata"]}
+
+        srv = OpenRouterServer(or_generate)
+        port = srv.start(args.host, args.port or 8001)
+        print(f"OpenRouter API at http://{args.host}:{port}/v1/chat/completions")
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+
+
+if __name__ == "__main__":
+    main()
