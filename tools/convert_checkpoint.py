@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Checkpoint converter: reference HF/safetensors checkpoints -> native quantized
+format (analog of acestep_ggml/tools/export_safetensors_to_gguf.py, but
+converter-ahead-of-time: quantization happens once here, load is instant).
+
+Usage:
+  python tools/convert_checkpoint.py --dit /path/acestep-v15-turbo \
+      --vae /path/vae --text /path/Qwen3-Embedding-0.6B \
+      --out converted/ --quant q4_k
+
+Each component directory must contain model.safetensors (+ config.json, used
+when present to override architecture defaults).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _find_st(path: str) -> str:
+    if path.endswith(".safetensors"):
+        return path
+    for name in ("model.safetensors", "diffusion_pytorch_model.safetensors"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            return p
+    cands = [f for f in os.listdir(path) if f.endswith(".safetensors")]
+    if len(cands) == 1:
+        return os.path.join(path, cands[0])
+    raise FileNotFoundError(f"no unambiguous .safetensors in {path}: {cands}")
+
+
+def _load_cfg(path: str, cls):
+    p = os.path.join(path, "config.json") if os.path.isdir(path) else None
+    if p and os.path.exists(p):
+        with open(p) as f:
+            return cls.from_dict(json.load(f))
+    return cls()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dit")
+    ap.add_argument("--vae")
+    ap.add_argument("--text")
+    ap.add_argument("--lm")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k"])
+    ap.add_argument("--lm-quant", default=None, help="override quant for the LM")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")   # conversion is host-side
+
+    from acestep_tpu import loader
+    from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+
+    os.makedirs(args.out, exist_ok=True)
+    quant = None if args.quant == "bf16" else args.quant
+    manifest = {"quant": args.quant, "components": {}}
+
+    def convert(name, path, load_fn, cfg):
+        t0 = time.time()
+        st = SafetensorsFile(_find_st(path))
+        params = load_fn(st, cfg)
+        loader.save_params(os.path.join(args.out, name), params,
+                           {"component": name, "quant": args.quant})
+        dt = time.time() - t0
+        manifest["components"][name] = {"source": path, "seconds": round(dt, 1)}
+        print(f"{name}: converted in {dt:.1f}s", file=sys.stderr)
+
+    if args.dit:
+        cfg = _load_cfg(args.dit, DiTConfig)
+        convert("dit", args.dit, lambda st, c: loader.load_dit(st, c, quant=quant), cfg)
+    if args.vae:
+        cfg = _load_cfg(args.vae, VAEConfig)
+        convert("vae", args.vae, lambda st, c: loader.load_vae(st, c), cfg)
+    if args.text:
+        cfg = _load_cfg(args.text, QwenConfig)
+        convert("text_encoder", args.text,
+                lambda st, c: loader.load_qwen(st, c, quant=quant), cfg)
+    if args.lm:
+        cfg = _load_cfg(args.lm, QwenConfig)
+        lm_quant = args.lm_quant or quant
+        convert("lm", args.lm, lambda st, c: loader.load_qwen(st, c, quant=lm_quant), cfg)
+
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    print(json.dumps(manifest))
+
+
+if __name__ == "__main__":
+    main()
