@@ -219,3 +219,96 @@ def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> 
     k = x.shape[-1]
     y = qmm_pallas(x.reshape(-1, k), qt, interpret=interpret)
     return y.reshape(*lead, qt.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# int8 x int8 MXU variant (GGML-style): activations are dynamically quantized
+# per 32-block along K (the reference quantizes activations to q8_1 for its
+# quantized vec_dot), products accumulate in int32 on the MXU at 2x bf16
+# throughput, and per-block scale products rescale the partial sums.
+#
+#   y[m, n] = sum_kb s_x[m, kb] * s_w[kb, n] * (qx[m, kb*32:...] . qw[..., n])
+#
+# Activations take one exact per-ROW scale (slightly coarser than GGML's
+# per-32 q8_1 but exact to apply); weight scales stay per-32 exact by
+# rescaling the int32 partial sums of each 32-wide sub-matmul on the VPU.
+# K=32 sub-matmuls under-fill the MXU depth, so this path targets
+# decode-shaped problems (small M) where weight streaming dominates anyway.
+# ---------------------------------------------------------------------------
+
+def qmm_int8_act(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax.Array:
+    """Experimental int8-activation path for q8_0 (decode shapes). Applies the
+    per-row activation scale outside the kernel; per-32 weight scales exact."""
+    if qt.fmt != "q8_0":
+        raise ValueError("int8-act path supports q8_0 only")
+    k_dim, n = qt.shape
+    m = x.shape[0]
+    bn = _pick_bn(n)
+    bk = Q8_BK if k_dim % Q8_BK == 0 else (k_dim if k_dim % BLOCK == 0 else None)
+    if bn is None or bk is None:
+        from acestep_tpu.quant import dequantize as _deq
+
+        return jnp.dot(x.astype(jnp.bfloat16), _deq(qt, jnp.bfloat16),
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    bm = _pick_bm(m)
+    m_pad = (-m) % bm
+    xp = jnp.pad(x, ((0, m_pad), (0, 0))) if m_pad else x
+    mp = m + m_pad
+
+    # per-row GLOBAL activation scale (slightly coarser than per-tile; exactness
+    # of the rescale then allows applying it once at the end)
+    xf = xp.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+    xs = amax / 127.0
+    inv = jnp.where(xs > 0, 1.0 / jnp.maximum(xs, 1e-30), 0.0)
+    xq = jnp.clip(jnp.round(xf * inv), -127, 127).astype(jnp.int8)
+
+    grid = (mp // bm, n // bn, k_dim // bk)
+    scale_rows = bk // BLOCK
+    out = pl.pallas_call(
+        _int8_core_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((scale_rows, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, qt.data, qt.scales.astype(jnp.float32))
+    out = out * xs            # per-row activation scale, exact
+    out = out[:m] if m_pad else out
+    return out.astype(jnp.bfloat16)
+
+
+def _int8_core_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """int8 x int8 with per-32-block weight-scale rescale of int32 partials."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = x_ref[:]
+    w = w_ref[:]
+    s = s_ref[:].astype(jnp.float32)
+    nb = s.shape[0]
+    acc = acc_ref[:]
+    for b in range(nb):
+        p = jax.lax.dot_general(
+            xq[:, b * BLOCK:(b + 1) * BLOCK], w[b * BLOCK:(b + 1) * BLOCK, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        acc = acc + p * s[b][None, :]
+    acc_ref[:] = acc
+
+    @pl.when(kk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
