@@ -58,6 +58,33 @@ class TokenizerLike(Protocol):
 
 
 @dataclasses.dataclass
+class TokenizerJsonAdapter:
+    """Wraps a raw tokenizer.json via the `tokenizers` library (no transformers
+    needed — checkpoints ship tokenizer.json)."""
+
+    path: str
+    eos_token: str = "<|im_end|>"
+
+    def __post_init__(self):
+        from tokenizers import Tokenizer
+
+        self.tok = Tokenizer.from_file(self.path)
+        self.eos_token_id = self.tok.token_to_id(self.eos_token)
+        if self.eos_token_id is None:
+            self.eos_token_id = self.tok.token_to_id("<|endoftext|>") or 0
+        ids = self.tok.encode("</think>", add_special_tokens=False).ids
+        self.think_end_id = ids[-1] if len(ids) == 1 else -1
+        base = self.tok.token_to_id("<|audio_code_0|>")
+        self.audio_code_base_id = base if base is not None else -1
+
+    def encode(self, text: str):
+        return self.tok.encode(text, add_special_tokens=False).ids
+
+    def decode(self, ids):
+        return self.tok.decode(list(ids), skip_special_tokens=False)
+
+
+@dataclasses.dataclass
 class HFTokenizerAdapter:
     """Wraps a HuggingFace tokenizer (from the LM checkpoint)."""
 
