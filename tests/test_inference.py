@@ -1,0 +1,136 @@
+"""Orchestration tests: generate_music with LM + DiT engine (tiny models)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from acestep_tpu import inference
+from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+from acestep_tpu.lm_pipeline import LMPipeline
+from acestep_tpu.models import dit as dit_mod
+from acestep_tpu.models import qwen as qwen_mod
+from acestep_tpu.models import vae as vae_mod
+from acestep_tpu.pipeline import AceStepEngine
+
+TINY_DIT = DiTConfig(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+    in_channels=24, audio_acoustic_hidden_dim=8, patch_size=2,
+    sliding_window=8, text_hidden_dim=32,
+    num_lyric_encoder_hidden_layers=1, num_timbre_encoder_hidden_layers=1,
+    timbre_hidden_dim=8,
+)
+TINY_VAE = VAEConfig(
+    audio_channels=2, encoder_hidden_size=16, decoder_channels=8,
+    decoder_input_channels=8, downsampling_ratios=(2, 4, 4),
+    channel_multiples=(1, 2, 4),
+)
+TINY_TEXT = QwenConfig(
+    vocab_size=512, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
+    head_dim=16,
+)
+
+
+class MockTok:
+    eos_token_id = 400
+    think_end_id = 401
+    audio_code_base_id = 410
+
+    def encode(self, text):
+        return [ord(c) % 256 for c in text][:48]
+
+    def decode(self, ids):
+        out = []
+        for i in ids:
+            if i == self.think_end_id:
+                out.append("</think>")
+            elif i >= self.audio_code_base_id:
+                out.append(f"<|audio_code_{int(i) - self.audio_code_base_id}|>")
+            elif i < 256:
+                out.append(chr(int(i) % 94 + 32))
+        return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def stack(monkeypatch_module=None):
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+    engine = AceStepEngine(
+        dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+        vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+        qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+    )
+    lm = LMPipeline(qwen_mod.init_params(k4, TINY_TEXT, dtype=jnp.float32), TINY_TEXT, MockTok())
+    return engine, lm
+
+
+def test_generate_music_without_lm(stack):
+    engine, _ = stack
+    rng = np.random.default_rng(0)
+    params = inference.GenerationParams(
+        caption="calm piano", duration=10.0, thinking=False,
+        style_token_ids=rng.integers(0, 512, (1, 6)),
+    )
+    res = inference.generate_music(engine, None, params)
+    assert res.audio.shape[0] == 1
+    assert np.isfinite(res.audio).all()
+    assert res.lm_result is None
+    assert "diffusion_time_cost" in res.time_costs
+
+
+def test_generate_music_with_lm_phase(stack, monkeypatch):
+    import acestep_tpu.lm_pipeline as lp
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    engine, lm = stack
+    rng = np.random.default_rng(1)
+    params = inference.GenerationParams(
+        caption="jazz", lyrics="la la", duration=10.0, thinking=True, bpm=120,
+        style_token_ids=rng.integers(0, 512, (1, 6)),
+    )
+    res = inference.generate_music(engine, lm, params)
+    assert res.lm_result is not None
+    assert res.metadata.get("bpm") == 120          # user metadata wins
+    assert len(res.lm_result.code_indices) == 50   # 10 s * 5 Hz
+    assert "lm_phase2_time_cost" in res.time_costs
+    assert np.isfinite(res.audio).all()
+
+
+def test_generate_music_with_code_hints(stack, monkeypatch):
+    import acestep_tpu.lm_pipeline as lp
+
+    from acestep_tpu.models import codec
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    engine, lm = stack
+    rng = np.random.default_rng(2)
+    codec_params = codec.init_params(jax.random.key(9), hidden=32)
+    # detokenizer outputs 64-dim latents; tiny engine wants 8 -> project down in test
+    # by monkeypatching codes_to_latents to crop channels
+    real = codec.codes_to_latents
+
+    def cropped(p, idx, t):
+        return real(p, idx, t)[:, :, : TINY_DIT.audio_acoustic_hidden_dim]
+
+    monkeypatch.setattr(codec, "codes_to_latents", cropped)
+    params = inference.GenerationParams(
+        caption="rock", duration=10.0, thinking=True,
+        style_token_ids=rng.integers(0, 512, (1, 6)),
+    )
+    res = inference.generate_music(engine, lm, params, codec_params=codec_params)
+    assert res.dit_result.latents.shape[0] == 1
+    assert np.isfinite(res.audio).all()
+
+
+def test_lm_only_flows(stack, monkeypatch):
+    import acestep_tpu.lm_pipeline as lp
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    _, lm = stack
+    out = inference.understand_music(lm, "<|audio_code_1|><|audio_code_2|>", max_tokens=16)
+    assert "raw_output" in out
+    out = inference.create_sample(lm, "something jazzy", max_tokens=16)
+    assert "raw_output" in out
+    out = inference.format_sample(lm, "fast edm please", max_tokens=16)
+    assert "raw_output" in out
