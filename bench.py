@@ -21,6 +21,9 @@ import numpy as np
 BASELINE_Q8_10S_INFER_S = 4.663
 
 
+T00 = time.perf_counter()
+
+
 def main():
     import os
     import jax
@@ -36,7 +39,11 @@ def main():
     quant = "q8_0"
     duration_s = 10.0
 
+    def log(msg):
+        print(f"[bench {time.perf_counter()-T00:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
     t0 = time.perf_counter()
+    log("building engine...")
     engine = build_random_engine(jax.random.key(0), quant=quant)
     rng = np.random.default_rng(0)
     req = GenerationRequest(
@@ -46,10 +53,12 @@ def main():
         seeds=[1],
     )
     build_s = time.perf_counter() - t0
+    log(f"engine built in {build_s:.1f}s; warmup generate (compiles)...")
 
     # warmup (compile)
     res = engine.generate(req)
     warm_s = res.time_costs["total_time_cost"]
+    log(f"warmup done in {warm_s:.1f}s: {res.time_costs}")
 
     # timed runs
     runs = []
@@ -57,6 +66,7 @@ def main():
         req.seeds = [i + 2]
         res = engine.generate(req)
         runs.append(res.time_costs["total_time_cost"])
+        log(f"run {i}: {res.time_costs}")
     value = float(np.median(runs))
 
     result = {
