@@ -175,7 +175,7 @@ def encode(params: Params, cfg: VAEConfig, audio: jax.Array) -> jax.Array:
     """audio [B, L, 2] -> posterior MEAN latents [B, L//hop, 64]
     (the C++ encode returns mean channels only, vae_model.cpp:1004-1043)."""
     p = params["encoder"]
-    x = audio.astype(jnp.float32)
+    x = audio.astype(p["conv1"]["w"].dtype)
     x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
     for blk, s in zip(p["blocks"], cfg.downsampling_ratios):
         x = _res_unit(blk["res1"], x, 1)
@@ -187,7 +187,7 @@ def encode(params: Params, cfg: VAEConfig, audio: jax.Array) -> jax.Array:
     x = snake(x, **p["snake1"])
     x = conv1d(x, p["conv2"]["w"], p["conv2"].get("b"), padding=1)
     mean, _scale = jnp.split(x, 2, axis=-1)
-    return mean
+    return mean.astype(jnp.float32)
 
 
 def encode_and_sample(
@@ -212,9 +212,13 @@ def encode_and_sample(
 
 
 def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
-    """latents [B, T, 64] -> audio [B, T*hop, 2] (f32)."""
+    """latents [B, T, 64] -> audio [B, T*hop, 2].
+
+    Compute dtype follows the param dtype (f32 by default; bf16 params run the
+    convs in bf16 while Snake still computes in f32 internally — the reference's
+    precision hazard was fp16's exp/range, not bf16's)."""
     p = params["decoder"]
-    x = latents.astype(jnp.float32)
+    x = latents.astype(p["conv1"]["w"].dtype)
     x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
     for blk, s in zip(p["blocks"], cfg.upsampling_ratios):
         x = snake(x, **blk["snake1"])

@@ -159,6 +159,14 @@ class GenerationResult:
     audio_lengths: Optional[List[int]] = None          # per-item valid samples
 
 
+def _fence(x: jax.Array) -> None:
+    """Force completion of the computation producing x.
+
+    block_until_ready is unreliable through remote-tunnel backends (returns
+    before execution completes); a 1-element readback is a true fence."""
+    np.asarray(jax.device_get(x.ravel()[0:1]))
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -338,6 +346,7 @@ class AceStepEngine:
             enc = jnp.broadcast_to(enc, (b,) + enc.shape[1:])
             enc_mask = jnp.broadcast_to(enc_mask, (b,) + enc_mask.shape[1:])
         ctx = self.build_context_latents(req, b, t, t_valid)
+        _fence(enc)
         time_costs["condition_time_cost"] = time.perf_counter() - t0
 
         seeds = list(req.seeds) if req.seeds else list(range(b))
@@ -361,7 +370,7 @@ class AceStepEngine:
             attn_mask=attn_mask,
             use_attn_mask=use_attn_mask,
         )
-        latents.block_until_ready()
+        _fence(latents)
         time_costs["diffusion_time_cost"] = time.perf_counter() - t1
         time_costs["diffusion_per_step_time_cost"] = (
             time_costs["diffusion_time_cost"] / len(schedule)
@@ -377,13 +386,16 @@ class AceStepEngine:
             chunk_frames=128, overlap_frames=64,
             decode_fn=self._vae_decode_jit,
         )
-        audio = jax.block_until_ready(audio)
+        _fence(audio)
         time_costs["vae_time_cost"] = time.perf_counter() - t2
+
+        audio_np = np.asarray(audio, dtype=np.float32)
+        latents_np = np.asarray(latents_valid, dtype=np.float32)
         time_costs["total_time_cost"] = time.perf_counter() - t0
 
         return GenerationResult(
-            audio=np.asarray(audio, dtype=np.float32),
-            latents=np.asarray(latents_valid, dtype=np.float32),
+            audio=audio_np,
+            latents=latents_np,
             sample_rate=self.vae_cfg.sampling_rate,
             time_costs=time_costs,
             seeds=seeds,
