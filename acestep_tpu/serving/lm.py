@@ -277,3 +277,61 @@ def generate(
     first_stop = jnp.argmax(stops, axis=1)
     n_gen = jnp.where(any_stop, first_stop + 1, sp.max_new_tokens)
     return tokens, n_gen.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# host-stepped constrained generation (metadata FSM CoT phase)
+#
+# The metadata FSM (acestep_tpu.constrained) tracks string state that cannot
+# live on-device; like the reference's logits-processor hook it masks logits on
+# the host between jitted decode steps.  CoT is short (~100 tokens) so the
+# per-step host round-trip is acceptable; the codes phase stays on-device.
+# ---------------------------------------------------------------------------
+
+_decode_step_jit = jax.jit(decode_step, static_argnames=("cfg",))
+_prefill_jit = jax.jit(prefill, static_argnames=("cfg",))
+
+
+def generate_with_fsm(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    prompt_ids: Sequence[int],
+    fsm,                                   # constrained.MetadataFSM
+    vocab_strs: Sequence[str],             # token id -> string piece
+    key: jax.Array,
+    temperature: float = 0.7,
+    max_new_tokens: int = 256,
+) -> Tuple[list, str]:
+    """Generate one sequence under the FSM; returns (token_ids, text)."""
+    import numpy as np
+
+    ids = jnp.asarray([list(prompt_ids)], jnp.int32)
+    lengths = jnp.asarray([len(prompt_ids)], jnp.int32)
+    max_len = len(prompt_ids) + max_new_tokens + 1
+    cache = kvc.init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
+                           max_len, cfg.head_dim)
+    logits, cache = _prefill_jit(params, cfg, ids, lengths, cache)
+
+    out_ids: list = []
+    out_text: list = []
+    vocab = len(vocab_strs)
+    for step in range(max_new_tokens):
+        if fsm.done:
+            break
+        mask = fsm.allowed(vocab_strs)
+        if not mask.any():
+            break
+        lg = np.asarray(logits[0])[:vocab]
+        lg = np.where(mask, lg, -1e30)
+        if temperature <= 0:
+            tok = int(lg.argmax())
+        else:
+            key, sub = jax.random.split(key)
+            tok = int(jax.random.categorical(sub, jnp.asarray(lg) / temperature))
+        piece = vocab_strs[tok]
+        out_ids.append(tok)
+        out_text.append(piece)
+        fsm.step(piece)
+        logits, cache = _decode_step_jit(params, cfg, cache, jnp.asarray([tok], jnp.int32))
+        cache = kvc.advance(cache, jnp.ones((1,), bool))
+    return out_ids, "".join(out_text)

@@ -117,3 +117,35 @@ class TestConstrained:
         assert np.asarray(c).shape == (1, 5)
         # guidance changes the trajectory for random weights (almost surely)
         assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+class TestFSMGeneration:
+    def test_constrained_cot_generation(self, params):
+        from acestep_tpu.constrained import FIELD_RANGES, MetadataFSM
+        from acestep_tpu.serving.lm import generate_with_fsm
+        from acestep_tpu import lm_pipeline as lp
+
+        # vocab: tiny model has 128 ids; map each to a character piece
+        vocab_strs = []
+        for i in range(TINY.vocab_size):
+            if i == 100:
+                vocab_strs.append("\n")
+            elif i == 101:
+                vocab_strs.append("major")
+            elif i == 102:
+                vocab_strs.append("minor")
+            elif i == 103:
+                vocab_strs.append("</think>")
+            else:
+                vocab_strs.append(chr(32 + i % 94))
+        fsm = MetadataFSM(user_metadata={"bpm": 120})
+        ids, text = generate_with_fsm(
+            params, TINY, [1, 2, 3], fsm, vocab_strs, jax.random.key(0),
+            temperature=0.8, max_new_tokens=300,
+        )
+        assert fsm.done
+        assert "bpm: 120\n" in text
+        md, _ = lp.parse_lm_output("<think>\n" + text.replace("</think>", "\n</think>"))
+        for f in ("timesignature", "duration"):
+            lo, hi = FIELD_RANGES[f]
+            assert lo <= int(md[f]) <= hi
