@@ -383,9 +383,9 @@ class AceStepEngine:
         t2 = time.perf_counter()
         audio = vae.tiled_decode(
             self.vae_params, self.vae_cfg, latents_valid,
-            chunk_frames=128, overlap_frames=64,
-            decode_fn=self._vae_decode_jit,
-        )
+            chunk_frames=128, overlap_frames=None,   # default: min(64, chunk/4)=32
+            decode_fn=self._vae_decode_jit,          # (overlap=chunk/2 would clamp
+        )                                            #  stride to 2 -> 125 decodes)
         _fence(audio)
         time_costs["vae_time_cost"] = time.perf_counter() - t2
 

@@ -108,7 +108,7 @@ def main(argv=None):
         from acestep_tpu.models import vae as vae_mod
 
         audio = vae_mod.tiled_decode(engine.vae_params, engine.vae_cfg, lat,
-                                     chunk_frames=128, overlap_frames=64)
+                                     chunk_frames=128, overlap_frames=None)
         write_wav(args.out, np.asarray(audio[0]), engine.vae_cfg.sampling_rate)
         print(json.dumps({"mode": "vae", "samples": int(audio.shape[1]), "out": args.out}))
         return 0
