@@ -265,13 +265,51 @@ def tiled_decode(
     if stride <= 0:
         overlap_frames, stride = 0, chunk_frames
 
-    pieces = []
-    upsample = None
+    # window plan (same bounds/trim semantics as the C++ loop)
+    windows = []
     for core_start in range(0, t, stride):
         core_end = min(core_start + stride, t)
         win_start = max(0, core_start - overlap_frames)
         win_end = min(t, core_end + overlap_frames)
-        audio = decode_fn(latents[:, win_start:win_end, :])
+        windows.append((core_start, core_end, win_start, win_end))
+
+    # TPU-native: decode all SAME-SIZE windows as one batched call (the
+    # reference loops per window / per sample; batching the interior windows
+    # turns N dispatches into ~2 and fills the chip)
+    hop = cfg.hop_length
+    from collections import defaultdict
+
+    by_size = defaultdict(list)
+    for idx, (cs, ce, ws, we) in enumerate(windows):
+        by_size[we - ws].append(idx)
+
+    decoded: dict = {}
+    for size, idxs in by_size.items():
+        stackable = len(idxs) > 1 and b == 1
+        if stackable:
+            stacked = jnp.concatenate(
+                [latents[:, windows[i][2]:windows[i][3], :] for i in idxs], axis=0
+            )
+            # bucket the window count so the jitted decode compiles once per
+            # (bucket, size) instead of once per song length
+            n_win = stacked.shape[0]
+            bucket = 1
+            while bucket < n_win:
+                bucket *= 2
+            if bucket > n_win:
+                stacked = jnp.pad(stacked, ((0, bucket - n_win), (0, 0), (0, 0)))
+            audio = decode_fn(stacked)                     # [bucket, size*hop, C]
+            for j, i in enumerate(idxs):
+                decoded[i] = audio[j:j + 1]
+        else:
+            for i in idxs:
+                ws, we = windows[i][2], windows[i][3]
+                decoded[i] = decode_fn(latents[:, ws:we, :])
+
+    pieces = []
+    upsample = None
+    for i, (core_start, core_end, win_start, win_end) in enumerate(windows):
+        audio = decoded[i]
         win_frames = win_end - win_start
         if upsample is None:
             upsample = audio.shape[1] / win_frames
