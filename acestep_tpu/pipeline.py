@@ -201,6 +201,7 @@ class AceStepEngine:
         )
         self._vae_decode_jit = lambda lat: self._vae_decode_raw(self.vae_params, lat)
         self._text_forward_jit = None
+        self._param_bytes = None
         if silence_latent is not None:
             self._silence = jnp.asarray(silence_latent, jnp.float32)
         else:
@@ -330,6 +331,23 @@ class AceStepEngine:
         time_costs: Dict[str, float] = {}
 
         b = req.batch_size
+        # HBM admission control (the reference's VRAM guard, handler.py:1297-1387):
+        # clamp batch before launch rather than OOM mid-flight
+        from acestep_tpu import memory_planner as mp
+
+        if self._param_bytes is None:
+            self._param_bytes = mp.tree_bytes(self.dit_params) + mp.tree_bytes(self.vae_params)
+        plan = mp.plan_request(
+            self.dit_cfg, self.vae_cfg, self._param_bytes, b,
+            frames_for_duration(req.duration_s),
+        )
+        if plan.max_batch < b:
+            import warnings
+
+            warnings.warn(
+                f"HBM planner clamped batch {b} -> {plan.max_batch} "
+                f"({plan.detail})", stacklevel=2)
+            b = plan.max_batch
         durations = (
             list(req.durations_s) if req.durations_s
             else [req.duration_s] * b

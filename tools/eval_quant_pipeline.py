@@ -10,6 +10,8 @@ quantization, identical seeds/noise).
 """
 
 from __future__ import annotations
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import json
