@@ -39,6 +39,8 @@ def main(argv=None):
     mode.add_argument("--pipeline", action="store_true")
     mode.add_argument("--pipeline-style-lyric", action="store_true")
     mode.add_argument("--pipeline-style-lyric-timbre", action="store_true")
+    mode.add_argument("--wizard", action="store_true",
+                      help="interactive prompt flow (reference cli.py wizard)")
 
     ap.add_argument("--style-tokens", type=str, help="style token file")
     ap.add_argument("--lyric-tokens", type=str, help="lyric token file")
@@ -55,6 +57,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import os
+
+    if args.wizard:
+        return run_wizard(args)
 
     import jax
 
@@ -158,6 +163,51 @@ def main(argv=None):
         "seeds": res.seeds,
     }))
     return 0
+
+
+def run_wizard(args):
+    """Interactive flow (analog of the reference's cli.py wizard: prompts for
+    caption/lyrics/settings, optional TOML config load, then generates)."""
+    import os
+    import tomllib
+
+    cfg = {}
+    cfg_path = os.environ.get("ACESTEP_TPU_CLI_CONFIG", "acestep_cli.toml")
+    if os.path.exists(cfg_path):
+        with open(cfg_path, "rb") as f:
+            cfg = tomllib.load(f)
+        print(f"loaded config from {cfg_path}", file=sys.stderr)
+
+    def ask(prompt, default=""):
+        try:
+            val = input(f"{prompt} [{default}]: ").strip()
+        except EOFError:
+            val = ""
+        return val or default
+
+    caption = ask("Caption / style", cfg.get("caption", "dreamy synthwave"))
+    lyrics = ask("Lyrics (blank = instrumental)", cfg.get("lyrics", ""))
+    duration = float(ask("Duration seconds", str(cfg.get("duration", 30))))
+    seed = int(ask("Seed", str(cfg.get("seed", 0))))
+    out = ask("Output wav", cfg.get("out", "output.wav"))
+    quant = ask("Quant (bf16/q8_0/q4_0/q4_k)", cfg.get("quant", "q8_0"))
+
+    argv = ["--pipeline", "--audio-seconds", str(duration), "--seed", str(seed),
+            "--out", out, "--quant", quant]
+    print(f"-> caption={caption!r} lyrics={len(lyrics)} chars; running pipeline...",
+          file=sys.stderr)
+    # the native engine takes token ids; in wizard/demo mode hash text to ids
+    ids = [str(b % 32000) for b in caption.encode()][:256]
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(" ".join(ids))
+        style_file = f.name
+    argv += ["--style-tokens", style_file]
+    try:
+        return main(argv)
+    finally:
+        os.unlink(style_file)
 
 
 if __name__ == "__main__":
