@@ -192,8 +192,13 @@ def _init_params_impl(key: jax.Array, cfg: DiTConfig, dtype) -> Params:
 # ---------------------------------------------------------------------------
 
 def _self_attention(
-    p: Params, cfg: DiTConfig, x: jax.Array, cos, sin, mask
+    p: Params, cfg: DiTConfig, x: jax.Array, cos, sin, mask,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
+    """Megatron-style TP when ``axis_name`` is set: q/k/v are column-sharded
+    (cfg carries the LOCAL head counts), o_proj is row-sharded, and the partial
+    output is all-reduced here — the explicit psum the reference does with
+    dist.all_reduce in RowParallelLinear (nano-vllm linear.py:152)."""
     b, l, _ = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
@@ -204,7 +209,10 @@ def _self_attention(
     v = v.transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
     out = attention(q, k, v, mask=mask).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    return linear(out, p["o_proj"]["kernel"])
+    out = linear(out, p["o_proj"]["kernel"])
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def cross_kv(
@@ -220,7 +228,8 @@ def cross_kv(
 
 
 def _cross_attention(
-    p: Params, cfg: DiTConfig, x: jax.Array, kv: Tuple[jax.Array, jax.Array], mask
+    p: Params, cfg: DiTConfig, x: jax.Array, kv: Tuple[jax.Array, jax.Array], mask,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     b, l, _ = x.shape
     hd, nh = cfg.head_dim, cfg.num_attention_heads
@@ -228,14 +237,20 @@ def _cross_attention(
     q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     k, v = kv
     out = attention(q, k, v, mask=mask).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    return linear(out, p["o_proj"]["kernel"])
+    out = linear(out, p["o_proj"]["kernel"])
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
-def _mlp(p: Params, x: jax.Array) -> jax.Array:
+def _mlp(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
     gate = linear(x, p["gate_proj"]["kernel"])
     up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear(act, p["down_proj"]["kernel"])
+    out = linear(act, p["down_proj"]["kernel"])
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def _timestep_embed(p: Params, t: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
@@ -331,6 +346,7 @@ def forward(
     *,
     cross_kv_cache: Optional[List[Tuple[jax.Array, jax.Array]]] = None,
     condition_projected: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Predict velocity v_t.  Returns [B, T, 64].
 
@@ -410,14 +426,15 @@ def forward(
                 sm = jnp.where(sliding, sliding_mask, zero)
             else:
                 sm = jnp.where(sliding, sliding_mask, full_mask)
-        x = x + _self_attention(p["self_attn"], cfg, normed, cos, sin, sm) * gate_msa
+        x = x + _self_attention(
+            p["self_attn"], cfg, normed, cos, sin, sm, axis_name) * gate_msa
 
         normed = rms_norm(x, p["cross_attn_norm"], cfg.rms_norm_eps)
-        x = x + _cross_attention(p["cross_attn"], cfg, normed, kv, cross_mask)
+        x = x + _cross_attention(p["cross_attn"], cfg, normed, kv, cross_mask, axis_name)
 
         normed = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
         normed = normed * (1.0 + c_scale) + c_shift
-        x = x + _mlp(p["mlp"], normed) * c_gate
+        x = x + _mlp(p["mlp"], normed, axis_name) * c_gate
         return x
 
     layers = params["layers"]

@@ -118,3 +118,57 @@ def test_training_step_dp_tp():
         )
     ]
     assert max(diffs) > 0
+
+
+def test_explicit_shard_map_tp_matches_single_device():
+    """The explicit-psum shard_map TP forward must match the plain forward."""
+    from acestep_tpu.parallel.tp import make_tp_dit_forward
+
+    cfg = DiTConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=16,
+        in_channels=24, audio_acoustic_hidden_dim=8, patch_size=2,
+        sliding_window=8, text_hidden_dim=32,
+        num_lyric_encoder_hidden_layers=0, num_timbre_encoder_hidden_layers=0,
+        timbre_hidden_dim=8,
+    )
+    params = dit.stack_params(dit.init_params(jax.random.key(0), cfg, dtype=jnp.float32))
+    rng = np.random.default_rng(0)
+    hs = jnp.asarray(rng.standard_normal((2, 12, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    enc = jnp.asarray(rng.standard_normal((2, 5, 64)), jnp.float32)
+    t = jnp.asarray([0.7, 0.4], jnp.float32)
+
+    ref = np.asarray(dit.forward(params, cfg, hs, t, t, enc, ctx))
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    fwd = make_tp_dit_forward(cfg, mesh, params)
+    out = np.asarray(fwd(params, hs, t, enc, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_explicit_tp_with_quantized_params():
+    from acestep_tpu.parallel.tp import make_tp_dit_forward
+
+    cfg = DiTConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=1,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=16,
+        in_channels=24, audio_acoustic_hidden_dim=8, patch_size=2,
+        sliding_window=8, text_hidden_dim=32,
+        num_lyric_encoder_hidden_layers=0, num_timbre_encoder_hidden_layers=0,
+        timbre_hidden_dim=8,
+    )
+    policy = lambda p, a: getattr(a, "ndim", 0) == 2 and p.endswith("kernel") and a.shape[0] % 32 == 0
+    params = dit.stack_params(
+        quantize_tree(dit.init_params(jax.random.key(1), cfg, dtype=jnp.float32),
+                      "q8_0", policy=policy))
+    rng = np.random.default_rng(1)
+    hs = jnp.asarray(rng.standard_normal((1, 10, 8)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, 10, 16)), jnp.float32)
+    enc = jnp.asarray(rng.standard_normal((1, 4, 64)), jnp.float32)
+    t = jnp.asarray([0.5], jnp.float32)
+    ref = np.asarray(dit.forward(params, cfg, hs, t, t, enc, ctx))
+    mesh = make_mesh(8, dp=2, tp=4)
+    fwd = make_tp_dit_forward(cfg, mesh, params)
+    out = np.asarray(fwd(params, hs, t, enc, ctx))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
