@@ -66,6 +66,8 @@ def main():
     rows = []
 
     def run(name, dit_p, text_p):
+        import gc
+
         engine = AceStepEngine(dit_p, dit_cfg, vae_params, vae_cfg, text_p, text_cfg)
         engine.generate(req)                       # compile
         t0 = time.time()
@@ -74,15 +76,22 @@ def main():
         wav = res.audio[0]
         write_wav(os.path.join(args.out, f"{name}.wav"), wav, res.sample_rate)
         print(f"{name}: {infer_s:.2f}s", file=sys.stderr)
+        # free the engine's stacked weight copies before the next variant
+        del engine
+        gc.collect()
         return wav, infer_s
 
     fp_wav, fp_s = run("fp_bf16", fp_dit, fp_text)
     rows.append(("fp_bf16", fp_s, None))
 
     for fmt in args.formats.split(","):
+        import gc
+
         q_dit = quantize_tree_jax(fp_dit, fmt)
         q_text = quantize_tree_jax(fp_text, fmt)
         wav, infer_s = run(fmt, q_dit, q_text)
+        del q_dit, q_text
+        gc.collect()
         m = waveform_metrics(fp_wav, wav)
         rows.append((fmt, infer_s, m))
 
