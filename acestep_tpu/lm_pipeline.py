@@ -315,17 +315,27 @@ class LMPipeline:
         self.cfg = cfg
         self.tok = tokenizer
 
+    @staticmethod
+    def _bucket(ids):
+        """Pad a token list to a length bucket so the jitted generate compiles
+        once per (bucket, max_new) instead of once per prompt length."""
+        for b in (64, 128, 256, 512, 1024, 2048, 4096):
+            if len(ids) <= b:
+                return ids + [0] * (b - len(ids))
+        return ids[:4096]
+
     def _run(self, prompt: str, sp: SamplingParams, key,
              uncond_prompt: Optional[str] = None) -> Tuple[np.ndarray, int]:
         ids = self.tok.encode(prompt)
-        prompt_ids = jnp.asarray([ids], jnp.int32)
-        lengths = jnp.asarray([len(ids)], jnp.int32)
+        n = min(len(ids), 4096)
+        prompt_ids = jnp.asarray([self._bucket(ids)], jnp.int32)
+        lengths = jnp.asarray([n], jnp.int32)
         ukw = {}
         if uncond_prompt is not None and sp.cfg_scale != 1.0:
             uids = self.tok.encode(uncond_prompt)
             ukw = dict(
-                uncond_prompt_ids=jnp.asarray([uids], jnp.int32),
-                uncond_prompt_lengths=jnp.asarray([len(uids)], jnp.int32),
+                uncond_prompt_ids=jnp.asarray([self._bucket(uids)], jnp.int32),
+                uncond_prompt_lengths=jnp.asarray([min(len(uids), 4096)], jnp.int32),
             )
         tokens, n_gen = generate(self.params, self.cfg, prompt_ids, lengths, key, sp, **ukw)
         n = int(n_gen[0])
