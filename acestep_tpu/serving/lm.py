@@ -335,3 +335,117 @@ def generate_with_fsm(
         logits, cache = _decode_step_jit(params, cfg, cache, jnp.asarray([tok], jnp.int32))
         cache = kvc.advance(cache, jnp.ones((1,), bool))
     return out_ids, "".join(out_text)
+
+
+# ---------------------------------------------------------------------------
+# prefix caching (nano-vllm block_manager.py:44-50 xxhash prefix reuse, adapted
+# to dense caches): identical prompt prefixes skip re-prefill.  The two-phase
+# flow re-prefills the system+user prompt for the codes phase; with the cache
+# the shared prefix is restored and only the CoT suffix is prefilled.
+# ---------------------------------------------------------------------------
+
+def extend_prefill(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    cache: KVCache,
+    new_ids: jax.Array,            # [B, T2] tokens to append
+    start: jax.Array,              # [B] current lengths (== cache.length)
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill a suffix at positions [start, start+T2); returns last logits."""
+    b, t2 = new_ids.shape
+    hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    t_max = cache.max_len
+    x = params["embed_tokens"][new_ids]
+
+    pos = start[:, None] + jnp.arange(t2)[None, :]            # [B, T2]
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    freqs = pos.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)            # [B, T2, hd]
+    cos = jnp.cos(emb)[:, None, :, :]
+    sin = jnp.sin(emb)[:, None, :, :]
+
+    # suffix token i attends to cache positions <= start + i
+    kpos = jnp.arange(t_max)[None, None, :]
+    qpos = pos[:, :, None]
+    cache_mask = jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+    cache_mask = cache_mask[:, None, :, :]                    # [B, 1, T2, T_max]
+
+    new_len = start + t2
+    for li, p in enumerate(params["layers"]):
+        xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t2, nh, hd)
+        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t2, nkv, hd)
+        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, t2, nkv, hd)
+        q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        q = q * jnp.cos(emb)[:, None] + _rotate_half_4d(q) * jnp.sin(emb)[:, None]
+        k = k * jnp.cos(emb)[:, None] + _rotate_half_4d(k) * jnp.sin(emb)[:, None]
+
+        # write suffix K/V at [start, start+t2) via broadcasted scatter
+        kq, ks = kvc.quantize_kv(k)
+        vq, vs = kvc.quantize_kv(v)
+        bidx = jnp.arange(b)[:, None]
+        tpos = start[:, None] + jnp.arange(t2)[None, :]
+        cache = KVCache(
+            cache.k.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(kq),
+            cache.v.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(vq),
+            cache.k_scale.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(ks),
+            cache.v_scale.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(vs),
+            cache.length,
+        )
+        k_all = kvc.dequantize_kv(cache.k[li], cache.k_scale[li])
+        v_all = kvc.dequantize_kv(cache.v[li], cache.v_scale[li])
+        attn = attention(q, k_all, v_all, mask=cache_mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t2, nh * hd)
+        x = x + linear(attn, p["o_proj"]["kernel"])
+        hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+        x = x + qwen.mlp_block(p, hn)
+
+    cache = KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale, new_len)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    logits = qwen.lm_logits(params, cfg, x[:, -1:, :])[:, 0, :]
+    return logits.astype(jnp.float32), cache
+
+
+def _rotate_half_4d(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+class PrefixCache:
+    """LRU cache of prefill KV states keyed by the exact prompt-token prefix."""
+
+    def __init__(self, max_entries: int = 8):
+        self.max_entries = max_entries
+        self._store: "dict[tuple, tuple]" = {}
+        self._order: list = []
+        self.hits = 0
+        self.misses = 0
+
+    def lookup(self, ids: Sequence[int]):
+        """Longest cached prefix of ids -> (prefix_len, cache, logits) or None."""
+        best = None
+        for key in self._store:
+            n = len(key)
+            if n <= len(ids) and tuple(ids[:n]) == key:
+                if best is None or n > best:
+                    best = n
+        if best is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        self._order.remove(tuple(ids[:best]))
+        self._order.append(tuple(ids[:best]))
+        cache, logits = self._store[tuple(ids[:best])]
+        return best, cache, logits
+
+    def insert(self, ids: Sequence[int], cache: KVCache, logits: jax.Array):
+        key = tuple(ids)
+        if key in self._store:
+            return
+        self._store[key] = (cache, logits)
+        self._order.append(key)
+        while len(self._order) > self.max_entries:
+            old = self._order.pop(0)
+            del self._store[old]

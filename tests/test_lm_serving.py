@@ -149,3 +149,53 @@ class TestFSMGeneration:
         for f in ("timesignature", "duration"):
             lo, hi = FIELD_RANGES[f]
             assert lo <= int(md[f]) <= hi
+
+
+class TestPrefixCache:
+    def test_extend_prefill_matches_full_prefill(self, params):
+        """prefill(prefix) + extend_prefill(suffix) must reproduce the full
+        prefill's cache and continue decoding identically."""
+        from acestep_tpu.serving.lm import extend_prefill
+
+        rng = np.random.default_rng(5)
+        full_ids = rng.integers(0, TINY.vocab_size, (1, 12)).astype(np.int32)
+        max_len = 24
+
+        # full prefill
+        c_full = kvc.init_cache(TINY.num_hidden_layers, 1, TINY.num_key_value_heads,
+                                max_len, TINY.head_dim)
+        lg_full, c_full = lm.prefill(params, TINY, jnp.asarray(full_ids),
+                                     jnp.asarray([12], jnp.int32), c_full)
+
+        # split prefill
+        c_split = kvc.init_cache(TINY.num_hidden_layers, 1, TINY.num_key_value_heads,
+                                 max_len, TINY.head_dim)
+        _, c_split = lm.prefill(params, TINY, jnp.asarray(full_ids[:, :7]),
+                                jnp.asarray([7], jnp.int32), c_split)
+        lg_split, c_split = extend_prefill(params, TINY, c_split,
+                                           jnp.asarray(full_ids[:, 7:]),
+                                           jnp.asarray([7], jnp.int32))
+
+        np.testing.assert_allclose(np.asarray(lg_full), np.asarray(lg_split),
+                                   atol=2e-2, rtol=2e-2)
+        assert int(c_split.length[0]) == 12
+        # greedy continuation must agree
+        t_full = int(jnp.argmax(lg_full))
+        t_split = int(jnp.argmax(lg_split))
+        assert t_full == t_split
+        lf, cf = lm.decode_step(params, TINY, c_full, jnp.asarray([t_full], jnp.int32))
+        ls, cs = lm.decode_step(params, TINY, c_split, jnp.asarray([t_split], jnp.int32))
+        assert int(jnp.argmax(lf)) == int(jnp.argmax(ls))
+
+    def test_prefix_cache_lookup(self):
+        from acestep_tpu.serving.lm import PrefixCache
+
+        pc = PrefixCache(max_entries=2)
+        c = kvc.init_cache(1, 1, 2, 8, 4)
+        pc.insert([1, 2, 3], c, jnp.zeros((1, 8)))
+        hit = pc.lookup([1, 2, 3, 4, 5])
+        assert hit is not None and hit[0] == 3
+        assert pc.lookup([9, 9]) is None
+        pc.insert([7], c, jnp.zeros((1, 8)))
+        pc.insert([8], c, jnp.zeros((1, 8)))   # evicts oldest
+        assert pc.lookup([1, 2, 3]) is None    # evicted
