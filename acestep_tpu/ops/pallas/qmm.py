@@ -191,9 +191,9 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     elif qt.fmt == "q4_k":
         # effective per-32-block scale/min, computed outside (hoisted by XLA)
         sub_per_super = SUPER // BLOCK
-        d_eff = _expand_rows_host(qt.super_scales.astype(jnp.float32), sub_per_super) \
+        d_eff = _expand_rows(qt.super_scales.astype(jnp.float32), sub_per_super) \
             * qt.sub_scales.astype(jnp.float32)
-        m_eff = _expand_rows_host(qt.super_mins.astype(jnp.float32), sub_per_super) \
+        m_eff = _expand_rows(qt.super_mins.astype(jnp.float32), sub_per_super) \
             * qt.sub_mins.astype(jnp.float32)
         out = pl.pallas_call(
             _q4_k_kernel,
@@ -206,11 +206,6 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
         raise ValueError(f"unsupported quant format: {qt.fmt}")
 
     return out[:m] if m_pad else out
-
-
-def _expand_rows_host(s: jax.Array, reps: int) -> jax.Array:
-    b, n = s.shape
-    return jnp.broadcast_to(s[:, None, :], (b, reps, n)).reshape(b * reps, n)
 
 
 def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax.Array:

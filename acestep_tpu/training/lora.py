@@ -93,9 +93,6 @@ def apply_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
 
     def walk(pp, ll):
         if isinstance(pp, dict):
-            if isinstance(ll, dict) and "a" in ll and "b" in ll and not isinstance(pp, QuantTensor):
-                # pp is a dict param-subtree only when ll is a parallel dict
-                pass
             return {
                 k: (merge(pp[k], ll.get(k)) if _is_lora_leaf(ll.get(k)) and _is_weight(pp[k])
                     else walk(pp[k], ll.get(k) if isinstance(ll, dict) else None))
@@ -119,9 +116,6 @@ def apply_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
 
 def scale_lora(lora: Any, factor: float) -> Any:
     """Scale adapter strength (runtime manager's per-adapter scaling)."""
-
-    def fn(path, leaf):
-        return leaf
 
     def walk(t):
         if isinstance(t, dict):
