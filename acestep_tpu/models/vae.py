@@ -283,24 +283,31 @@ def tiled_decode(
     for idx, (cs, ce, ws, we) in enumerate(windows):
         by_size[we - ws].append(idx)
 
+    # cap the stacked-window batch: full-rate conv activations are ~0.4 GB per
+    # 128-frame window, so 8 windows per decode call bounds peak HBM while
+    # still amortizing dispatches (a 600 s song has ~230 windows)
+    MAX_WINDOW_BATCH = 8
+
     decoded: dict = {}
     for size, idxs in by_size.items():
         stackable = len(idxs) > 1 and b == 1
         if stackable:
-            stacked = jnp.concatenate(
-                [latents[:, windows[i][2]:windows[i][3], :] for i in idxs], axis=0
-            )
-            # bucket the window count so the jitted decode compiles once per
-            # (bucket, size) instead of once per song length
-            n_win = stacked.shape[0]
-            bucket = 1
-            while bucket < n_win:
-                bucket *= 2
-            if bucket > n_win:
-                stacked = jnp.pad(stacked, ((0, bucket - n_win), (0, 0), (0, 0)))
-            audio = decode_fn(stacked)                     # [bucket, size*hop, C]
-            for j, i in enumerate(idxs):
-                decoded[i] = audio[j:j + 1]
+            for g0 in range(0, len(idxs), MAX_WINDOW_BATCH):
+                group = idxs[g0:g0 + MAX_WINDOW_BATCH]
+                stacked = jnp.concatenate(
+                    [latents[:, windows[i][2]:windows[i][3], :] for i in group], axis=0
+                )
+                # bucket the window count so the jitted decode compiles once per
+                # (bucket, size) instead of once per song length
+                n_win = stacked.shape[0]
+                bucket = 1
+                while bucket < n_win:
+                    bucket *= 2
+                if bucket > n_win:
+                    stacked = jnp.pad(stacked, ((0, bucket - n_win), (0, 0), (0, 0)))
+                audio = decode_fn(stacked)                 # [bucket, size*hop, C]
+                for j, i in enumerate(group):
+                    decoded[i] = audio[j:j + 1]
         else:
             for i in idxs:
                 ws, we = windows[i][2], windows[i][3]
