@@ -284,9 +284,10 @@ def tiled_decode(
         by_size[we - ws].append(idx)
 
     # cap the stacked-window batch: full-rate conv activations are ~0.4 GB per
-    # 128-frame window, so 8 windows per decode call bounds peak HBM while
-    # still amortizing dispatches (a 600 s song has ~230 windows)
-    MAX_WINDOW_BATCH = 8
+    # 128-frame window, so a small per-call window batch bounds peak HBM while
+    # still amortizing dispatches (a 600 s song has ~230 windows); 4 windows is the
+    # proven-fit batch on 16 GB v5e alongside full engine weights
+    MAX_WINDOW_BATCH = 4
 
     decoded: dict = {}
     for size, idxs in by_size.items():
