@@ -15,9 +15,11 @@ def tok_file(tmp_path_factory):
 
     vocab = {"[UNK]": 0, "dreamy": 1, "synthwave": 2, "la": 3, "#": 4,
              "Instruction": 5, "Caption": 6, "Metas": 7, "bpm": 8, ":": 9,
-             "105": 10, "</think>": 11, "<|im_end|>": 12, "<|audio_code_0|>": 13}
+             "105": 10}
     tok = Tokenizer(models.WordLevel(vocab, unk_token="[UNK]"))
     tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    # special tokens tokenize atomically (like the real checkpoint tokenizer)
+    tok.add_special_tokens(["</think>", "<|im_end|>", "<|audio_code_0|>"])
     path = tmp_path_factory.mktemp("tok") / "tokenizer.json"
     tok.save(str(path))
     return str(path)
@@ -43,8 +45,8 @@ def test_tokenizer_json_adapter(tok_file):
     from acestep_tpu.lm_pipeline import TokenizerJsonAdapter
 
     ad = TokenizerJsonAdapter(tok_file)
-    assert ad.eos_token_id == 12
-    assert ad.think_end_id == 11
-    assert ad.audio_code_base_id == 13
+    assert ad.eos_token_id == ad.tok.token_to_id("<|im_end|>")
+    assert ad.think_end_id == ad.tok.token_to_id("</think>")
+    assert ad.audio_code_base_id == ad.tok.token_to_id("<|audio_code_0|>")
     ids = ad.encode("dreamy synthwave la")
     assert ids == [1, 2, 3]
