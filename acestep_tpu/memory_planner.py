@@ -52,12 +52,25 @@ def tree_bytes(params: Any) -> int:
 def dit_activation_bytes(cfg: DiTConfig, batch: int, frames: int) -> int:
     """Peak activation estimate for one DiT forward at bf16.
 
-    Dominated by attention scores on full-attention layers
-    (B * heads * Tp^2 * 4 bytes in f32 softmax) plus a few hidden-state
-    residency copies; sliding layers are banded but XLA materializes the same
-    masked scores tensor, so we budget the dense shape."""
+    Below the blocked-attention threshold, dominated by dense f32 attention
+    scores (B * heads * Tp^2 * 4).  At or above it, the banded/flash kernels
+    (ops.blocked_attention) cap scores at O(Tp * block): banded layers hold
+    Tp * 3*window scores (+ the 3-neighborhood K/V copies), flash layers
+    Tp * block_k scores per scan step."""
+    from acestep_tpu.ops.blocked_attention import blocked_attn_threshold
+
     tp = (frames + cfg.patch_size - 1) // cfg.patch_size
-    scores = 4 * batch * cfg.num_attention_heads * tp * tp        # f32
+    if tp >= blocked_attn_threshold():
+        # banded: scores Tp*3W f32 + k3/v3 copies 2*(Tp*3S*D) bf16 per kv head;
+        # flash: scores Tp*block_k f32 + f32 accumulator Tp*D per head
+        w3 = 3 * max(cfg.sliding_window, 1)
+        flash_blk = 1024
+        per_head_scores = 4 * tp * max(w3, flash_blk)
+        kv_copies = 2 * 2 * cfg.num_key_value_heads * tp * 3 * cfg.head_dim
+        accum = 4 * cfg.num_attention_heads * tp * cfg.head_dim
+        scores = batch * (cfg.num_attention_heads * per_head_scores + kv_copies + accum)
+    else:
+        scores = 4 * batch * cfg.num_attention_heads * tp * tp    # f32 dense
     hidden = 2 * batch * tp * cfg.hidden_size
     mlp = 2 * batch * tp * cfg.intermediate_size
     # ~6 live hidden-sized tensors + 2 mlp-sized + 1 score tensor at peak

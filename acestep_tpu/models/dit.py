@@ -23,6 +23,7 @@ TPU-native deltas vs the reference:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -32,11 +33,14 @@ from acestep_tpu.config import DiTConfig
 from acestep_tpu.ops import (
     apply_rope,
     attention,
+    banded_attention,
+    flash_attention,
     linear,
     make_attention_mask,
     rms_norm,
     rope_cos_sin,
     sinusoidal_timestep_embedding,
+    use_blocked_attention,
 )
 
 Params = Dict[str, Any]
@@ -192,10 +196,13 @@ def _init_params_impl(key: jax.Array, cfg: DiTConfig, dtype) -> Params:
 # ---------------------------------------------------------------------------
 
 def _self_attention(
-    p: Params, cfg: DiTConfig, x: jax.Array, cos, sin, mask,
+    p: Params, cfg: DiTConfig, x: jax.Array, cos, sin, attn_fn,
     axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """Megatron-style TP when ``axis_name`` is set: q/k/v are column-sharded
+    """``attn_fn(q, k, v) -> out`` encapsulates masking/banding (dense mask,
+    banded, or flash — see :func:`_make_self_attn_fns`).
+
+    Megatron-style TP when ``axis_name`` is set: q/k/v are column-sharded
     (cfg carries the LOCAL head counts), o_proj is row-sharded, and the partial
     output is all-reduced here — the explicit psum the reference does with
     dist.all_reduce in RowParallelLinear (nano-vllm linear.py:152)."""
@@ -208,11 +215,71 @@ def _self_attention(
     k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
-    out = attention(q, k, v, mask=mask).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
+    out = attn_fn(q, k, v).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
     out = linear(out, p["o_proj"]["kernel"])
     if axis_name is not None:
         out = jax.lax.psum(out, axis_name)
     return out
+
+
+def _make_self_attn_fns(cfg: DiTConfig, seq_len: int, kv_valid):
+    """Build (sliding_fn, full_fn, select_fn) for the decoder/encoder stacks.
+
+    Below the blocked-attention threshold both are dense masked attention
+    (exact, fastest for small Tp).  At or above it, sliding layers use the
+    banded kernel and full layers the flash kernel — no dense Tp^2 scores ever
+    materialize, which is what unlocks 600 s songs (dit_model.cpp:1132-1173
+    banding semantics).
+
+    ``select_fn(flag, q, k, v)`` handles a TRACED per-layer sliding flag (the
+    scan-over-layers path): dense mode selects between masks with jnp.where
+    (one attention call); blocked mode uses lax.cond (structurally different
+    kernels, one executed per layer at runtime).
+    """
+    has_sliding = any(lt == "sliding_attention" for lt in cfg.layer_types)
+    blocked = use_blocked_attention(seq_len, cfg.sliding_window)
+
+    if blocked:
+        def sliding_fn(q, k, v):
+            return banded_attention(q, k, v, window=cfg.sliding_window, kv_valid=kv_valid)
+
+        def full_fn(q, k, v):
+            return flash_attention(q, k, v, kv_valid=kv_valid)
+
+        def select_fn(flag, q, k, v):
+            return jax.lax.cond(
+                flag,
+                lambda qkv: sliding_fn(*qkv),
+                lambda qkv: full_fn(*qkv),
+                (q, k, v),
+            )
+
+        return sliding_fn, full_fn, select_fn
+
+    need_mask = kv_valid is not None
+    full_mask = make_attention_mask(seq_len, seq_len, kv_valid=kv_valid) if need_mask else None
+    sliding_mask = (
+        make_attention_mask(seq_len, seq_len, kv_valid=kv_valid,
+                            sliding_window=cfg.sliding_window)
+        if has_sliding else None
+    )
+
+    def sliding_fn(q, k, v):
+        return attention(q, k, v, mask=sliding_mask)
+
+    def full_fn(q, k, v):
+        return attention(q, k, v, mask=full_mask)
+
+    def select_fn(flag, q, k, v):
+        if sliding_mask is None:
+            mask = full_mask
+        elif full_mask is None:
+            mask = jnp.where(flag, sliding_mask, jnp.zeros_like(sliding_mask))
+        else:
+            mask = jnp.where(flag, sliding_mask, full_mask)
+        return attention(q, k, v, mask=mask)
+
+    return sliding_fn, full_fn, select_fn
 
 
 def cross_kv(
@@ -394,19 +461,13 @@ def forward(
             am = jnp.pad(am, ((0, 0), (0, pad)))
         patch_valid = am.reshape(b, tp, patch).max(axis=-1)
 
-    need_mask = patch_valid is not None
-    has_sliding = any(lt == "sliding_attention" for lt in cfg.layer_types)
-    full_mask = make_attention_mask(tp, tp, kv_valid=patch_valid) if need_mask else None
-    sliding_mask = (
-        make_attention_mask(tp, tp, kv_valid=patch_valid, sliding_window=cfg.sliding_window)
-        if has_sliding else None
-    )
+    attn_sliding, attn_full, attn_select = _make_self_attn_fns(cfg, tp, patch_valid)
     cross_mask = (
         make_attention_mask(tp, encoder_attn_mask.shape[1], kv_valid=encoder_attn_mask)
         if encoder_attn_mask is not None else None
     )
 
-    def layer_body(x, p, kv, sliding: bool):
+    def layer_body(x, p, kv, sliding):
         mod = p["scale_shift_table"].astype(jnp.float32)[None] + \
             timestep_proj.astype(jnp.float32)          # [B, 6, H]
         shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
@@ -416,18 +477,11 @@ def forward(
         normed = rms_norm(x, p["self_attn_norm"], cfg.rms_norm_eps)
         normed = normed * (1.0 + scale_msa) + shift_msa
         if isinstance(sliding, bool):
-            sm = sliding_mask if sliding else full_mask
+            attn_fn = attn_sliding if sliding else attn_full
         else:  # traced per-layer flag (scan path)
-            if sliding_mask is None:
-                sm = full_mask
-            elif full_mask is None and sliding_mask is not None:
-                # full layers have no mask: encode "no mask" as zeros
-                zero = jnp.zeros_like(sliding_mask)
-                sm = jnp.where(sliding, sliding_mask, zero)
-            else:
-                sm = jnp.where(sliding, sliding_mask, full_mask)
+            attn_fn = functools.partial(attn_select, sliding)
         x = x + _self_attention(
-            p["self_attn"], cfg, normed, cos, sin, sm, axis_name) * gate_msa
+            p["self_attn"], cfg, normed, cos, sin, attn_fn, axis_name) * gate_msa
 
         normed = rms_norm(x, p["cross_attn_norm"], cfg.rms_norm_eps)
         x = x + _cross_attention(p["cross_attn"], cfg, normed, kv, cross_mask, axis_name)
@@ -478,29 +532,25 @@ def _encoder_stack(
     cfg: DiTConfig,
     x: jax.Array,
     valid: Optional[jax.Array],
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     l = x.shape[1]
     dtype = x.dtype
     cos, sin = rope_cos_sin(jnp.arange(l), cfg.head_dim, base=cfg.rope_theta)
     cos = cos.astype(dtype)
     sin = sin.astype(dtype)
-    has_sliding = any(lt == "sliding_attention" for lt in cfg.layer_types)
-    full_mask = make_attention_mask(l, l, kv_valid=valid) if valid is not None else None
-    sliding_mask = (
-        make_attention_mask(l, l, kv_valid=valid, sliding_window=cfg.sliding_window)
-        if has_sliding else None
-    )
+    attn_sliding, attn_full, attn_select = _make_self_attn_fns(cfg, l, valid)
 
-    def body(x, p, mask):
+    def body(x, p, attn_fn):
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        x = x + _self_attention(p["self_attn"], cfg, xn, cos, sin, mask)
+        x = x + _self_attention(p["self_attn"], cfg, xn, cos, sin, attn_fn, axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        return x + _mlp(p["mlp"], hn)
+        return x + _mlp(p["mlp"], hn, axis_name)
 
     if isinstance(layers, list):
         for i, p in enumerate(layers):
             sliding = i < len(cfg.layer_types) and cfg.layer_types[i] == "sliding_attention"
-            x = body(x, p, sliding_mask if sliding else full_mask)
+            x = body(x, p, attn_sliding if sliding else attn_full)
         return x
 
     n = _num_layers(layers)
@@ -511,13 +561,7 @@ def _encoder_stack(
 
     def scan_body(x, xs):
         p, flag = xs
-        if sliding_mask is None:
-            mask = full_mask
-        elif full_mask is None:
-            mask = jnp.where(flag, sliding_mask, jnp.zeros_like(sliding_mask))
-        else:
-            mask = jnp.where(flag, sliding_mask, full_mask)
-        return body(x, p, mask), None
+        return body(x, p, functools.partial(attn_select, flag)), None
 
     x, _ = jax.lax.scan(scan_body, x, (layers, flags))
     return x
@@ -528,11 +572,12 @@ def lyric_encoder(
     cfg: DiTConfig,
     lyric_hidden_states: jax.Array,          # [B, L, text_hidden] (token embeddings)
     lyric_mask: Optional[jax.Array] = None,  # [B, L]
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Project + encode lyric token embeddings -> [B, L, H]."""
     p = params["lyric_embed"]
     x = linear(lyric_hidden_states, p["kernel"], p.get("bias"))
-    x = _encoder_stack(params["lyric_layers"], cfg, x, lyric_mask)
+    x = _encoder_stack(params["lyric_layers"], cfg, x, lyric_mask, axis_name)
     return rms_norm(x, params["lyric_norm"], cfg.rms_norm_eps)
 
 
@@ -541,6 +586,7 @@ def timbre_encoder(
     cfg: DiTConfig,
     refer_latents: jax.Array,                # [B, L, 64] refer-audio acoustic latents
     refer_mask: Optional[jax.Array] = None,  # [B, L]
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Encode one refer-audio clip -> a single timbre token [B, 1, H]
     (first output position; dit_model.cpp:1738)."""
@@ -556,7 +602,7 @@ def timbre_encoder(
             refer_mask = jnp.concatenate(
                 [jnp.ones((x.shape[0], 1), refer_mask.dtype), refer_mask], axis=1
             )
-    x = _encoder_stack(params["timbre_layers"], cfg, x, refer_mask)
+    x = _encoder_stack(params["timbre_layers"], cfg, x, refer_mask, axis_name)
     x = rms_norm(x, params["timbre_norm"], cfg.rms_norm_eps)
     return x[:, :1, :]
 

@@ -8,9 +8,12 @@ def test_batch_clamped_under_small_hbm():
     cfg = DiTConfig()
     vae = VAEConfig()
     params = 2 * GiB
+    # blocked attention makes 600s/b8 fit 16G; clamping now kicks in lower
     plan = plan_request(cfg, vae, params, batch=8, frames=15000, hbm_bytes=16 * GiB)
-    assert plan.max_batch < 8              # 600s at batch 8 cannot fit in 16G
-    assert plan.max_batch >= 1
+    assert plan.max_batch == 8             # banded/flash path: fits
+    small = plan_request(cfg, vae, params, batch=8, frames=15000, hbm_bytes=8 * GiB)
+    assert small.max_batch < 8             # ...but not in 8G
+    assert small.max_batch >= 1
 
 
 def test_small_request_fits_full_batch():
