@@ -81,6 +81,130 @@ def local_cfg(cfg: DiTConfig, tp: int) -> DiTConfig:
     )
 
 
+def mesh_axis_sizes(mesh: Mesh):
+    return dict(zip(mesh.axis_names, mesh.devices.shape))
+
+
+def make_tp_sampler(cfg: DiTConfig, mesh: Mesh, params_example: Any):
+    """Jitted shard_map flow-matching sampler over the (dp, tp) mesh.
+
+    The WHOLE Euler loop (condition projection + per-layer cross K/V + the
+    8-step scan of DiT forwards) runs per-shard with hand-placed psum after
+    o_proj/down_proj (sampler.sample_latents(axis_name="tp")); batch rides the
+    dp axis when it divides, else replicates.  This is the engine's multi-chip
+    inference path — the analog of nano-vllm's TP serving (linear.py:54-152),
+    with Pallas qmm kernels running per-shard (GSPMD cannot partition a
+    pallas_call).
+    """
+    from acestep_tpu import sampler as _sampler
+
+    sizes = mesh_axis_sizes(mesh)
+    tp, dp = sizes["tp"], sizes["dp"]
+    cfg_l = local_cfg(cfg, tp)
+    pspec = _spec_tree(params_example)
+
+    @partial(
+        jax.jit,
+        static_argnames=("schedule", "infer_method", "use_attn_mask",
+                         "batch_sharded", "cover_steps"),
+    )
+    def run(
+        params, noise, ctx, enc, enc_mask, sde_key, attn_mask,
+        *, schedule, infer_method="ode", use_attn_mask=False, batch_sharded=False,
+        cover_steps=0,
+        encoder_hidden_states_non_cover=None,
+        context_latents_non_cover=None,
+        encoder_attn_mask_non_cover=None,
+    ):
+        bspec = P("dp") if batch_sharded else P()
+
+        def body(params, noise, ctx, enc, enc_mask, sde_key, attn_mask,
+                 enc_nc, ctx_nc, enc_mask_nc):
+            # de-correlate SDE noise across dp shards of the batch
+            skey = jax.random.fold_in(sde_key, jax.lax.axis_index("dp"))
+            return _sampler.sample_latents(
+                params, cfg_l, noise, ctx, enc, enc_mask, schedule,
+                infer_method=infer_method, sde_key=skey,
+                attn_mask=attn_mask, use_attn_mask=use_attn_mask,
+                cover_steps=cover_steps,
+                encoder_hidden_states_non_cover=enc_nc,
+                context_latents_non_cover=ctx_nc,
+                encoder_attn_mask_non_cover=enc_mask_nc,
+                axis_name="tp",
+            )
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, bspec, bspec, bspec, bspec, P(), bspec,
+                      bspec, bspec, bspec),
+            out_specs=bspec,
+            check_rep=False,
+        )
+        return mapped(params, noise, ctx, enc, enc_mask, sde_key, attn_mask,
+                      encoder_hidden_states_non_cover, context_latents_non_cover,
+                      encoder_attn_mask_non_cover)
+
+    return run
+
+
+def make_tp_condition(
+    dit_cfg: DiTConfig, text_cfg, mesh: Mesh, dit_params_example: Any
+):
+    """Jitted shard_map condition builder (style + lyric + timbre -> packed
+    [lyric|timbre|style]) matching pipeline.encode_condition semantics.
+
+    DiT encoder params are TP-sharded (lyric/timbre encoder blocks psum over
+    "tp"); the Qwen text encoder runs replicated per shard (it is small and has
+    no axis_name path).  Batch replicates across dp (condition batches are tiny
+    relative to the sampler).
+    """
+    from acestep_tpu.models import dit as _dit
+    from acestep_tpu.models import qwen as _qwen
+
+    sizes = mesh_axis_sizes(mesh)
+    cfg_l = local_cfg(dit_cfg, sizes["tp"])
+    pspec = _spec_tree(dit_params_example)
+
+    @jax.jit
+    def run(dit_params, text_params, style_ids, style_mask, lyric_ids, lyric_mask,
+            refer_latents, refer_frame_mask, refer_clip_mask):
+        from acestep_tpu.pipeline import pack_sequences
+
+        def body(dit_params, text_params, style_ids, style_mask, lyric_ids,
+                 lyric_mask, refer_latents, refer_frame_mask, refer_clip_mask):
+            parts = []
+            if lyric_ids is not None:
+                emb = _qwen.embeddings_only(text_params, lyric_ids)
+                lyr = _dit.lyric_encoder(dit_params, cfg_l, emb, lyric_mask,
+                                         axis_name="tp")
+                parts.append((lyr, lyric_mask))
+            if refer_latents is not None:
+                b, n, lr, c = refer_latents.shape
+                flat = refer_latents.reshape(b * n, lr, c)
+                fm = (refer_frame_mask.reshape(b * n, lr)
+                      if refer_frame_mask is not None else None)
+                toks = _dit.timbre_encoder(
+                    dit_params, cfg_l, flat, fm, axis_name="tp"
+                ).reshape(b, n, -1)
+                parts.append((toks, refer_clip_mask))
+            if style_ids is not None:
+                hs = _qwen.forward(text_params, text_cfg, style_ids, style_mask)
+                st = _dit.text_projector(dit_params, hs)
+                parts.append((st, style_mask))
+            return pack_sequences(parts)
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        return mapped(dit_params, text_params, style_ids, style_mask, lyric_ids,
+                      lyric_mask, refer_latents, refer_frame_mask, refer_clip_mask)
+
+    return run
+
+
 def make_tp_dit_forward(cfg: DiTConfig, mesh: Mesh, params_example: Any):
     """Build a jitted shard_map DiT forward over the mesh's "tp" axis.
 

@@ -132,18 +132,31 @@ class GenerationRequest:
     lyric_mask: Optional[np.ndarray] = None
     refer_latents: Optional[np.ndarray] = None        # [B, n_refer, Lr, 64]
     refer_mask: Optional[np.ndarray] = None           # [B, n_refer]
-    # task control
-    task: str = "text2music"                          # text2music | repaint | cover
-    src_latents: Optional[np.ndarray] = None          # [B, T, 64] for repaint/cover
+    # task control (constants.py TASK_TYPES; turbo serves the first three,
+    # extract/lego/complete are base-model tasks — handler.py:1581-1610)
+    task: str = "text2music"      # text2music | repaint | cover | extract | lego | complete
+    src_latents: Optional[np.ndarray] = None          # [B, T, 64] source audio latents
     repaint_start_s: float = 0.0
     repaint_end_s: float = -1.0                       # -1 => to end
     audio_cover_strength: float = 1.0
+    track_name: Optional[str] = None                  # extract / lego target track
+    complete_track_classes: Optional[Sequence[str]] = None   # complete task
     # sampler control
     seeds: Optional[Sequence[int]] = None
     shift: float = 3.0
     timesteps: Optional[Sequence[float]] = None
     infer_method: str = "ode"
     batch_size: int = 1
+    # base-model (non-turbo) CFG diffusion (handler.py:2549-2560 surface);
+    # guidance_scale != 1.0 selects the CFG sampler with an infer_steps-long
+    # shifted schedule instead of the turbo 8-step whitelist
+    guidance_scale: float = 1.0
+    infer_steps: int = 8
+    cfg_interval_start: float = 0.0
+    cfg_interval_end: float = 1.0
+    use_adg: bool = False
+    uncond_style_token_ids: Optional[np.ndarray] = None   # negative-prompt tokens
+    uncond_style_mask: Optional[np.ndarray] = None
     # mixed-duration batching (BASELINE.json configs[3]): per-item durations
     # sharing one frame bucket; unset -> duration_s for every item
     durations_s: Optional[Sequence[float]] = None
@@ -187,6 +200,7 @@ class AceStepEngine:
         text_params: Optional[Dict[str, Any]] = None,
         text_cfg: Optional[QwenConfig] = None,
         silence_latent: Optional[np.ndarray] = None,   # [1, T0, 64] tile-able
+        mesh=None,                                     # jax.sharding.Mesh (dp, tp)
     ):
         # stacked layer layout -> scan-over-layers (one compiled layer body)
         self.dit_params = dit.stack_params(dit_params)
@@ -195,6 +209,24 @@ class AceStepEngine:
         self.vae_cfg = vae_cfg
         self.text_params = qwen.stack_params(text_params) if text_params else None
         self.text_cfg = text_cfg
+        # multi-chip: TP-shard the DiT over the mesh, replicate text/VAE params;
+        # the sampler + condition encoders run under shard_map (parallel.tp)
+        self.mesh = mesh
+        self._tp_sampler = None
+        self._tp_condition = None
+        if mesh is not None:
+            from acestep_tpu.parallel import sharding as _sh
+            from acestep_tpu.parallel import tp as _tp
+
+            self.dit_params = _sh.shard_params(self.dit_params, mesh)
+            if self.text_params is not None:
+                self.text_params = _sh.replicate(self.text_params, mesh)
+            self.vae_params = _sh.replicate(self.vae_params, mesh)
+            self._tp_sampler = _tp.make_tp_sampler(dit_cfg, mesh, self.dit_params)
+            if self.text_params is not None:
+                self._tp_condition = _tp.make_tp_condition(
+                    dit_cfg, text_cfg, mesh, self.dit_params
+                )
         # params are jit arguments (closure constants would be embedded in HLO)
         self._vae_decode_raw = jax.jit(
             lambda p, lat: vae.decode(p, self.vae_cfg, lat)
@@ -283,6 +315,12 @@ class AceStepEngine:
             )
         if req.style_token_ids is not None:
             style_ids, style_mask = _pad_tokens(req.style_token_ids, req.style_mask)
+        if self._tp_condition is not None:
+            return self._tp_condition(
+                self.dit_params, self.text_params,
+                style_ids, style_mask, lyric_ids, lyric_mask,
+                refer, refer_fm, refer_cm,
+            )
         return encode_condition(
             self.dit_params, self.text_params, self.dit_cfg, self.text_cfg,
             style_ids, style_mask, lyric_ids, lyric_mask,
@@ -312,7 +350,12 @@ class AceStepEngine:
             if src.shape[1] < t:
                 src = jnp.pad(src, ((0, 0), (0, t - src.shape[1]), (0, 0)))
             src = src[:, :t, :src_dim]
-            if req.task == "repaint":
+            # repaint always masks a span; lego may (outpaint/overdub span) —
+            # handler.py:1778-1794 "can_use_repainting = repaint or lego"
+            has_span = req.task == "repaint" or (
+                req.task == "lego" and req.repaint_end_s > req.repaint_start_s
+            )
+            if has_span:
                 start = int(req.repaint_start_s * LATENT_RATE)
                 end = t_valid if req.repaint_end_s < 0 else int(req.repaint_end_s * LATENT_RATE)
                 frames = jnp.arange(t)
@@ -320,7 +363,15 @@ class AceStepEngine:
                 chunk = jnp.broadcast_to(
                     inside.astype(jnp.float32)[None, :, None], (b, t, mask_dim)
                 )
-            else:  # cover: regenerate everything conditioned on src
+                # the masked span of src is silenced (handler.py:2190-2199:
+                # src_latent[start:end] = silence_latent)
+                sil = jnp.broadcast_to(
+                    self._silence_frames(t), (b, t, audio_dim)
+                )[:, :, :src_dim]
+                src = jnp.where(inside[None, :, None], sil, src)
+            else:
+                # cover / extract / complete / spanless lego: regenerate all,
+                # conditioned on the full source (handler.py:2176-2204)
                 chunk = jnp.ones((b, t, mask_dim), jnp.float32)
         return jnp.concatenate([src, chunk.astype(jnp.float32)], axis=-1)
 
@@ -378,16 +429,102 @@ class AceStepEngine:
             valid_arr = jnp.asarray(item_valid, jnp.int32)[:, None]
             attn_mask = (jnp.arange(t)[None, :] < valid_arr).astype(jnp.int32)
 
-        schedule = sampler.get_timestep_schedule(req.shift, req.timesteps)
+        use_cfg = req.guidance_scale != 1.0
+        if use_cfg:
+            schedule = sampler.get_base_timestep_schedule(req.infer_steps, req.shift)
+        else:
+            schedule = sampler.get_timestep_schedule(req.shift, req.timesteps)
+
+        # cover-strength condition switch (mlx_dit/generate.py:147,160-163):
+        # after num_steps * strength steps, swap to the non-cover condition
+        # (timbre branch masked out) and the silence context
+        cover_kwargs: Dict[str, Any] = {}
+        if req.task == "cover" and 0.0 <= req.audio_cover_strength < 1.0:
+            cover_steps = int(round(len(schedule) * req.audio_cover_strength))
+            if req.refer_latents is not None:
+                req_nc = dataclasses.replace(
+                    req,
+                    refer_mask=np.zeros(
+                        (np.asarray(req.refer_latents).shape[0],
+                         np.asarray(req.refer_latents).shape[1]), np.int32),
+                )
+                enc_nc, enc_nc_mask = self.build_condition(req_nc, b)
+                if enc_nc.shape[0] == 1 and b > 1:
+                    enc_nc = jnp.broadcast_to(enc_nc, (b,) + enc_nc.shape[1:])
+                    enc_nc_mask = jnp.broadcast_to(enc_nc_mask, (b,) + enc_nc_mask.shape[1:])
+            else:
+                enc_nc, enc_nc_mask = enc, enc_mask
+            req_sil = dataclasses.replace(req, task="text2music", src_latents=None)
+            ctx_nc = self.build_context_latents(req_sil, b, t, t_valid)
+            cover_kwargs = dict(
+                cover_steps=cover_steps,
+                encoder_hidden_states_non_cover=enc_nc,
+                context_latents_non_cover=ctx_nc,
+                encoder_attn_mask_non_cover=enc_nc_mask,
+            )
 
         t1 = time.perf_counter()
-        latents = sampler.sample(
-            self.dit_params, self.dit_cfg, noise, ctx, enc, enc_mask, schedule,
-            infer_method=req.infer_method,
-            sde_key=jax.random.key(seeds[0]),
-            attn_mask=attn_mask,
-            use_attn_mask=use_attn_mask,
-        )
+        if use_cfg:
+            # base-model CFG path (replicated; TP variant is turbo-first)
+            if req.uncond_style_token_ids is not None:
+                req_u = dataclasses.replace(
+                    req, style_token_ids=req.uncond_style_token_ids,
+                    style_mask=req.uncond_style_mask,
+                    lyric_token_ids=None, lyric_mask=None,
+                    refer_latents=None, refer_mask=None,
+                )
+                enc_u, enc_u_mask = self.build_condition(req_u, b)
+                if enc_u.shape[0] == 1 and b > 1:
+                    enc_u = jnp.broadcast_to(enc_u, (b,) + enc_u.shape[1:])
+                    enc_u_mask = jnp.broadcast_to(enc_u_mask, (b,) + enc_u_mask.shape[1:])
+            else:
+                # neutral uncond: same packed condition fully masked out
+                enc_u, enc_u_mask = enc, jnp.zeros_like(enc_mask)
+            latents = sampler.sample_latents_cfg(
+                self.dit_params, self.dit_cfg, noise, ctx,
+                enc, enc_mask, enc_u, enc_u_mask, schedule,
+                guidance_scale=req.guidance_scale,
+                cfg_interval_start=req.cfg_interval_start,
+                cfg_interval_end=req.cfg_interval_end,
+                use_adg=req.use_adg,
+                infer_method=req.infer_method,
+                sde_key=jax.random.key(seeds[0]),
+                attn_mask=attn_mask,
+                use_attn_mask=use_attn_mask,
+            )
+        elif self._tp_sampler is not None:
+            from acestep_tpu.parallel.sharding import shard_batch
+
+            dp = self.mesh.devices.shape[0]
+            batch_sharded = dp > 1 and b % dp == 0
+            if batch_sharded:
+                noise = shard_batch(noise, self.mesh)
+                ctx = shard_batch(ctx, self.mesh)
+                enc = shard_batch(enc, self.mesh)
+                enc_mask = shard_batch(enc_mask, self.mesh)
+                if attn_mask is not None:
+                    attn_mask = shard_batch(attn_mask, self.mesh)
+                for ck in ("encoder_hidden_states_non_cover",
+                           "context_latents_non_cover",
+                           "encoder_attn_mask_non_cover"):
+                    if ck in cover_kwargs:
+                        cover_kwargs[ck] = shard_batch(cover_kwargs[ck], self.mesh)
+            latents = self._tp_sampler(
+                self.dit_params, noise, ctx, enc, enc_mask,
+                jax.random.key(seeds[0]), attn_mask,
+                schedule=schedule, infer_method=req.infer_method,
+                use_attn_mask=use_attn_mask, batch_sharded=batch_sharded,
+                **cover_kwargs,
+            )
+        else:
+            latents = sampler.sample(
+                self.dit_params, self.dit_cfg, noise, ctx, enc, enc_mask, schedule,
+                infer_method=req.infer_method,
+                sde_key=jax.random.key(seeds[0]),
+                attn_mask=attn_mask,
+                use_attn_mask=use_attn_mask,
+                **cover_kwargs,
+            )
         _fence(latents)
         time_costs["diffusion_time_cost"] = time.perf_counter() - t1
         time_costs["diffusion_per_step_time_cost"] = (
@@ -399,11 +536,15 @@ class AceStepEngine:
         latents_valid = latents[:, :t_valid, :]
 
         t2 = time.perf_counter()
+        # HBM plan drives the decode chunk (handler.py:1217-1269 VAE chunk
+        # auto-sizing); clamp to [32, 128] so jit caches stay few and chunk
+        # compile shapes are stable
+        vae_chunk = int(min(max(plan.vae_chunk_frames, 32), 128))
         audio = vae.tiled_decode(
             self.vae_params, self.vae_cfg, latents_valid,
-            chunk_frames=128, overlap_frames=None,   # default: min(64, chunk/4)=32
-            decode_fn=self._vae_decode_jit,          # (overlap=chunk/2 would clamp
-        )                                            #  stride to 2 -> 125 decodes)
+            chunk_frames=vae_chunk, overlap_frames=None,  # default: min(64, chunk/4)
+            decode_fn=self._vae_decode_jit,               # (overlap=chunk/2 would clamp
+        )                                                 #  stride to 2 -> 125 decodes)
         _fence(audio)
         time_costs["vae_time_cost"] = time.perf_counter() - t2
 
@@ -419,6 +560,67 @@ class AceStepEngine:
             seeds=seeds,
             audio_lengths=[v * self.vae_cfg.hop_length for v in item_valid],
         )
+
+
+    # -- lyric alignment (handler.py:3792 get_lyric_timestamp / :4011 score) --
+
+    def get_lyric_timestamps(
+        self, latents: np.ndarray, req: GenerationRequest,
+        lyric_lines: Optional[Sequence[str]] = None,
+        line_token_counts: Optional[Sequence[int]] = None,
+    ):
+        """Token timestamps (s) for the request's lyric tokens against generated
+        latents, via the 1-step re-noised cross-attention probe + DTW.
+
+        Returns (stamps [n_lyric], lrc_text or None)."""
+        from acestep_tpu import alignment
+
+        if req.lyric_token_ids is None:
+            raise ValueError("request has no lyric tokens to align")
+        lat = jnp.asarray(latents, jnp.float32)
+        b, t_valid = lat.shape[0], lat.shape[1]
+        t = bucket_frames(t_valid)
+        if t != t_valid:
+            lat = jnp.pad(lat, ((0, 0), (0, t - t_valid), (0, 0)))
+        enc, enc_mask = self.build_condition(req, b)
+        ctx = self.build_context_latents(req, b, t, t_valid)
+        maps = alignment.cross_attention_maps(
+            self.dit_params, self.dit_cfg, lat, ctx, enc, enc_mask,
+        )
+        n_lyric = (
+            int(np.asarray(req.lyric_mask).sum(axis=1)[0])
+            if req.lyric_mask is not None
+            else int(np.asarray(req.lyric_token_ids).shape[1])
+        )
+        patch_seconds = self.dit_cfg.patch_size / LATENT_RATE
+        stamps = alignment.token_timestamps(
+            np.asarray(maps[0], np.float32), n_lyric, patch_seconds
+        )
+        lrc = None
+        if lyric_lines is not None and line_token_counts is not None:
+            lrc = alignment.to_lrc(lyric_lines, line_token_counts, stamps)
+        return stamps, lrc
+
+    def get_lyric_score(self, latents: np.ndarray, req: GenerationRequest) -> float:
+        """Lyric-alignment quality score (on-path attention mass ratio)."""
+        from acestep_tpu import alignment
+
+        lat = jnp.asarray(latents, jnp.float32)
+        b, t_valid = lat.shape[0], lat.shape[1]
+        t = bucket_frames(t_valid)
+        if t != t_valid:
+            lat = jnp.pad(lat, ((0, 0), (0, t - t_valid), (0, 0)))
+        enc, enc_mask = self.build_condition(req, b)
+        ctx = self.build_context_latents(req, b, t, t_valid)
+        maps = alignment.cross_attention_maps(
+            self.dit_params, self.dit_cfg, lat, ctx, enc, enc_mask,
+        )
+        n_lyric = (
+            int(np.asarray(req.lyric_mask).sum(axis=1)[0])
+            if req.lyric_mask is not None
+            else int(np.asarray(req.lyric_token_ids).shape[1])
+        )
+        return alignment.alignment_score(np.asarray(maps[0], np.float32), n_lyric)
 
 
 def build_random_engine(

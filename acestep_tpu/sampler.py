@@ -56,6 +56,18 @@ def get_timestep_schedule(
     return SHIFT_TIMESTEPS[shift]
 
 
+def get_base_timestep_schedule(num_steps: int, shift: float = 1.0) -> Tuple[float, ...]:
+    """Non-turbo (base-model) schedule: ``num_steps`` descending flow-matching
+    timesteps with the standard shift warp sigma = shift*t / (1 + (shift-1)*t)
+    (the reference's base path takes infer_steps<=60 + free-form shift,
+    handler.py:2549-2560; turbo uses the whitelist above)."""
+    import numpy as _np
+
+    ts = _np.linspace(1.0, 1.0 / num_steps, num_steps)
+    shifted = shift * ts / (1.0 + (shift - 1.0) * ts)
+    return tuple(float(t) for t in shifted)
+
+
 def make_noise(
     key_or_seeds, shape: Tuple[int, int, int], dtype=jnp.float32
 ) -> jax.Array:
@@ -82,6 +94,7 @@ def _select_kv(pred, kv_a, kv_b):
     jax.jit,
     static_argnames=(
         "cfg", "schedule", "infer_method", "cover_steps", "use_attn_mask",
+        "axis_name",
     ),
 )
 def sample_latents(
@@ -98,13 +111,19 @@ def sample_latents(
     cover_steps: int = 0,
     encoder_hidden_states_non_cover: Optional[jax.Array] = None,
     context_latents_non_cover: Optional[jax.Array] = None,
+    encoder_attn_mask_non_cover: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
     use_attn_mask: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Run the full Euler loop; returns clean latents x0 [B, T, 64].
 
     The condition is projected and its per-layer cross-attn K/V computed ONCE,
     then a lax.scan runs the 8 (or N) DiT evaluations.
+
+    ``axis_name``: set when running under shard_map tensor parallelism — the
+    per-layer blocks psum partial outputs over that mesh axis (cfg must carry
+    the LOCAL head counts; see parallel.tp).
     """
     b = noise.shape[0]
     dtype = jnp.bfloat16
@@ -137,9 +156,15 @@ def sample_latents(
             use_nc = i >= cover_steps
             kv_i = _select_kv(use_nc, kv_nc, kv)
             ctx_i = jnp.where(use_nc, context_latents_non_cover, context_latents)
+            if encoder_attn_mask is not None and encoder_attn_mask_non_cover is not None:
+                enc_mask_i = jnp.where(
+                    use_nc, encoder_attn_mask_non_cover, encoder_attn_mask)
+            else:
+                enc_mask_i = encoder_attn_mask
         else:
             kv_i = kv
             ctx_i = context_latents
+            enc_mask_i = encoder_attn_mask
 
         vt = dit.forward(
             params, cfg,
@@ -147,7 +172,9 @@ def sample_latents(
             t_b, t_b,
             context_latents=ctx_i,
             attn_mask=attn_mask if use_attn_mask else None,
+            encoder_attn_mask=enc_mask_i,
             cross_kv_cache=kv_i,
+            axis_name=axis_name,
         ).astype(jnp.float32)
 
         is_last = i == n_steps - 1
@@ -185,7 +212,7 @@ def _prepare_condition_kv(params, cfg, encoder_hidden_states, use_attn_mask=Fals
 @functools.partial(jax.jit, static_argnames=("cfg", "is_last", "use_attn_mask"))
 def _euler_step(
     params, cfg, xt, t, t_next, context_latents, kv, attn_mask,
-    is_last=False, use_attn_mask=False,
+    encoder_attn_mask=None, is_last=False, use_attn_mask=False,
 ):
     b = xt.shape[0]
     t_b = jnp.full((b,), t, jnp.float32)
@@ -193,6 +220,7 @@ def _euler_step(
         params, cfg, xt.astype(jnp.bfloat16), t_b, t_b,
         context_latents=context_latents,
         attn_mask=attn_mask if use_attn_mask else None,
+        encoder_attn_mask=encoder_attn_mask,
         cross_kv_cache=kv,
     ).astype(jnp.float32)
     if is_last:
@@ -214,6 +242,7 @@ def sample_latents_stepwise(
     cover_steps: int = 0,
     encoder_hidden_states_non_cover: Optional[jax.Array] = None,
     context_latents_non_cover: Optional[jax.Array] = None,
+    encoder_attn_mask_non_cover: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
     use_attn_mask: bool = False,
 ) -> jax.Array:
@@ -233,16 +262,20 @@ def sample_latents_stepwise(
         use_nc = has_cover and i >= cover_steps
         kv_i = kv_nc if use_nc else kv
         ctx_i = context_latents_non_cover if use_nc else context_latents
+        enc_mask_i = (encoder_attn_mask_non_cover if use_nc and
+                      encoder_attn_mask_non_cover is not None else encoder_attn_mask)
         is_last = i == n_steps - 1
         t_next = 0.0 if is_last else schedule[i + 1]
         if infer_method == "sde" and not is_last:
             # x0 prediction + re-noise (generate.py:187-192)
             x0 = _euler_step(params, cfg, xt, t, 0.0, ctx_i, kv_i, attn_mask,
+                             enc_mask_i,
                              is_last=True, use_attn_mask=use_attn_mask)
             eps = jax.random.normal(jax.random.fold_in(sde_key, i), xt.shape, jnp.float32)
             xt = t_next * eps + (1.0 - t_next) * x0
         else:
             xt = _euler_step(params, cfg, xt, t, t_next, ctx_i, kv_i, attn_mask,
+                             enc_mask_i,
                              is_last=is_last, use_attn_mask=use_attn_mask)
     return xt
 
@@ -254,3 +287,122 @@ def sample(params, cfg, *args, **kwargs):
     mode = os.environ.get("ACESTEP_TPU_SAMPLER", "step")
     fn = sample_latents if mode == "scan" else sample_latents_stepwise
     return fn(params, cfg, *args, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# base-model (non-turbo) CFG sampler: guidance_scale / cfg_interval / ADG.
+#
+# The reference's base path accepts infer_steps<=60, guidance_scale (default
+# 7.0), cfg_interval_start/end and use_adg (handler.py:2549-2560); the guidance
+# math itself ships in the checkpoint's remote code, so this implements the
+# standard formulation: cond and uncond are co-batched into ONE 2B DiT forward
+# (full MXU tiles), v = v_u + g * (v_c - v_u) inside the CFG interval and
+# v = v_c outside it.  use_adg applies norm-preserving (adaptive) guidance:
+# the guidance delta is rescaled to ||v_c|| per item so large guidance scales
+# do not blow up the velocity magnitude.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "schedule", "infer_method", "use_attn_mask", "use_adg",
+    ),
+)
+def sample_latents_cfg(
+    params: Dict[str, Any],
+    cfg: DiTConfig,
+    noise: jax.Array,                       # [B, T, 64]
+    context_latents: jax.Array,             # [B, T, ctx]
+    encoder_hidden_states: jax.Array,       # [B, Lc, H] cond
+    encoder_attn_mask: Optional[jax.Array],
+    uncond_hidden_states: jax.Array,        # [B, Lu, H] uncond (negative)
+    uncond_attn_mask: Optional[jax.Array],
+    schedule: Tuple[float, ...],
+    *,
+    guidance_scale: float = 7.0,
+    cfg_interval_start: float = 0.0,
+    cfg_interval_end: float = 1.0,
+    use_adg: bool = False,
+    infer_method: str = "ode",
+    sde_key: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+    use_attn_mask: bool = False,
+) -> jax.Array:
+    """Classifier-free-guidance Euler loop for base (non-turbo) checkpoints."""
+    b = noise.shape[0]
+    dtype = jnp.bfloat16
+    xt = noise.astype(jnp.float32)
+
+    # pad cond/uncond to a common Lc so they co-batch into one forward
+    lc, lu = encoder_hidden_states.shape[1], uncond_hidden_states.shape[1]
+    l = max(lc, lu)
+
+    def pad_cond(h, m, tgt):
+        padn = tgt - h.shape[1]
+        if padn:
+            h = jnp.pad(h, ((0, 0), (0, padn), (0, 0)))
+            m = (jnp.pad(m, ((0, 0), (0, padn))) if m is not None
+                 else jnp.pad(jnp.ones((h.shape[0], h.shape[1] - padn), jnp.int32),
+                              ((0, 0), (0, padn))))
+        return h, m
+
+    if encoder_attn_mask is None:
+        encoder_attn_mask = jnp.ones((b, lc), jnp.int32)
+    if uncond_attn_mask is None:
+        uncond_attn_mask = jnp.ones((b, lu), jnp.int32)
+    enc_c, mask_c = pad_cond(encoder_hidden_states, encoder_attn_mask, l)
+    enc_u, mask_u = pad_cond(uncond_hidden_states, uncond_attn_mask, l)
+    enc2 = jnp.concatenate([enc_c, enc_u], axis=0)          # [2B, L, H]
+    mask2 = jnp.concatenate([mask_c, mask_u], axis=0)
+
+    proj = dit.compute_condition(params, cfg, enc2.astype(dtype))
+    kv2 = dit.compute_all_cross_kv(params, cfg, proj)
+
+    ctx2 = jnp.concatenate([context_latents, context_latents], axis=0)
+    attn2 = (jnp.concatenate([attn_mask, attn_mask], axis=0)
+             if (use_attn_mask and attn_mask is not None) else None)
+
+    n_steps = len(schedule)
+    ts = jnp.asarray(schedule, jnp.float32)
+    ts_next = jnp.asarray(list(schedule[1:]) + [0.0], jnp.float32)
+    step_idx = jnp.arange(n_steps)
+    if sde_key is None:
+        sde_key = jax.random.key(0)
+    sde_keys = jax.random.split(sde_key, n_steps)
+
+    def body(xt, scan_in):
+        i, t, t_next, skey = scan_in
+        xt2 = jnp.concatenate([xt, xt], axis=0)
+        t2b = jnp.full((2 * b,), t, jnp.float32)
+        vt2 = dit.forward(
+            params, cfg, xt2.astype(dtype), t2b, t2b,
+            context_latents=ctx2,
+            attn_mask=attn2,
+            encoder_attn_mask=mask2,
+            cross_kv_cache=kv2,
+        ).astype(jnp.float32)
+        v_c, v_u = vt2[:b], vt2[b:]
+
+        delta = v_c - v_u
+        if use_adg:
+            # norm-preserving guidance: rescale delta to the cond velocity norm
+            nc = jnp.sqrt(jnp.sum(v_c * v_c, axis=(1, 2), keepdims=True))
+            nd = jnp.sqrt(jnp.sum(delta * delta, axis=(1, 2), keepdims=True))
+            delta = delta * (nc / jnp.maximum(nd, 1e-6))
+        v_cfg = v_u + guidance_scale * delta
+        # CFG interval gate: progress = 1 - t (t goes 1 -> 0)
+        progress = 1.0 - t
+        in_interval = (progress >= cfg_interval_start) & (progress <= cfg_interval_end)
+        vt = jnp.where(in_interval, v_cfg, v_c)
+
+        is_last = i == n_steps - 1
+        x0 = xt - vt * t
+        if infer_method == "sde":
+            eps = jax.random.normal(skey, xt.shape, jnp.float32)
+            xt_new = jnp.where(is_last, x0, t_next * eps + (1.0 - t_next) * x0)
+        else:
+            xt_new = jnp.where(is_last, x0, xt - vt * (t - t_next))
+        return xt_new, None
+
+    xt, _ = jax.lax.scan(body, xt, (step_idx, ts, ts_next, sde_keys))
+    return xt
