@@ -33,6 +33,8 @@ class GenerationParams:
     language: str = ""
     task_type: str = "text2music"
     instruction: str = ""
+    track_name: Optional[str] = None                   # extract / lego target
+    complete_track_classes: Optional[Sequence[str]] = None
     # LM control
     thinking: bool = True
     use_cot_metas: bool = True
@@ -43,6 +45,8 @@ class GenerationParams:
     lm_top_k: int = 0
     lm_cfg_scale: float = 1.0
     lm_negative_prompt: str = "NO USER INPUT"
+    lm_num_candidates: int = 1             # >1: PMI-ranked candidate selection
+    lm_constrained_cot: bool = False       # phase-1 CoT under the metadata FSM
     # DiT control
     inference_steps: int = 8
     shift: float = 3.0
@@ -123,9 +127,33 @@ def generate_music(
             user_metadata=user_metadata,
             thinking=params.thinking,
             seed=(config.seeds or [0])[0],
+            batch_size=max(1, params.lm_num_candidates),
+            chunk_size=config.lm_batch_chunk_size,
+            constrained_cot=params.lm_constrained_cot,
         )
         metadata = dict(lm_result.metadata)
         time_costs.update(lm_result.time_costs)
+
+        # test-time scaling: PMI-rank the candidate code sequences and keep the
+        # best (test_time_scaling.py:289 calculate_reward_score ranking)
+        if (
+            params.lm_num_candidates > 1
+            and lm_result.candidates and len(lm_result.candidates) > 1
+        ):
+            from acestep_tpu import scoring
+            from acestep_tpu.lm_pipeline import indices_to_codes
+
+            t_rank = time.perf_counter()
+            cond_ids = lm.tok.encode(
+                f"# Caption\n{params.caption}\n\n# Lyric\n{params.lyrics}\n"
+            )
+            base = lm.tok.audio_code_base_id
+            cand_tok = [list(np.asarray(c) + base) for c in lm_result.candidates]
+            order = scoring.rank_candidates(lm.params, lm.cfg, cond_ids, cand_tok)
+            best = lm_result.candidates[order[0]]
+            lm_result.code_indices = np.asarray(best, np.int32)
+            lm_result.audio_codes = indices_to_codes(best)
+            time_costs["lm_ranking_time_cost"] = time.perf_counter() - t_rank
     else:
         metadata = dict(user_metadata)
 
@@ -139,8 +167,13 @@ def generate_music(
         lyric_token_ids=params.lyric_token_ids,
         lyric_mask=params.lyric_mask,
         refer_latents=params.refer_latents,
-        task=params.task_type if params.task_type in ("text2music", "repaint", "cover") else "text2music",
+        task=(params.task_type
+              if params.task_type in ("text2music", "repaint", "cover",
+                                      "extract", "lego", "complete")
+              else "text2music"),
         src_latents=params.src_latents,
+        track_name=params.track_name,
+        complete_track_classes=params.complete_track_classes,
         repaint_start_s=params.repaint_start,
         repaint_end_s=params.repaint_end,
         audio_cover_strength=params.audio_cover_strength,

@@ -37,6 +37,8 @@ from acestep_tpu.constants import (
     LM_CODE_RATE,
 )
 from acestep_tpu.serving import SamplingParams, generate
+from acestep_tpu.serving import kv_cache as kvc
+from acestep_tpu.serving import lm as lm_serving
 
 CODE_PATTERN = re.compile(r"<\|audio_code_(\d+)\|>")
 
@@ -305,15 +307,59 @@ class LMResult:
     audio_codes: str
     code_indices: np.ndarray
     time_costs: Dict[str, float]
+    # batch candidate code sequences (codes phase batch_size > 1); [0] == code_indices
+    candidates: Optional[List[np.ndarray]] = None
+
+
+# code-count buckets: durations 10-600 s -> 50-3000 codes; phase-2 scans compile
+# once per bucket, forced-EOS/min-tokens are traced per-item operands
+CODE_BUCKETS = (64, 128, 256, 512, 768, 1024, 1536, 2048, 2560, 3072)
+
+# suffix buckets for the prefix-cache extend path (CoT blocks are short)
+SUFFIX_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def code_bucket(n: int) -> int:
+    for b in CODE_BUCKETS:
+        if n <= b:
+            return b
+    return CODE_BUCKETS[-1]
+
+
+def _suffix_bucket(n: int) -> int:
+    for b in SUFFIX_BUCKETS:
+        if n <= b:
+            return b
+    return SUFFIX_BUCKETS[-1]
 
 
 class LMPipeline:
-    """Owns the LM params + tokenizer and runs the two-phase generation."""
+    """Owns the LM params + tokenizer and runs the two-phase generation.
 
-    def __init__(self, params: Dict[str, Any], cfg: QwenConfig, tokenizer: TokenizerLike):
+    Serving features (round 2):
+      * batched candidate generation in the codes phase (honors
+        ``lm_batch_chunk_size`` via ``batch_size``/``chunk_size`` args —
+        llm_inference.py:1252-1330 batch chunking);
+      * KV prefix cache: the shared system+user prompt prefill from phase 1 is
+        reused by phase 2 (grown + suffix-prefilled + broadcast to the batch —
+        nano-vllm block_manager.py:44-50 prefix reuse in dense-cache form);
+      * code-count bucketing with traced forced-EOS, so every duration in a
+        bucket shares ONE compiled decode scan.
+    """
+
+    def __init__(self, params: Dict[str, Any], cfg: QwenConfig, tokenizer: TokenizerLike,
+                 use_prefix_cache: bool = True, stack_layers: bool = True):
+        from acestep_tpu.models import qwen as _qwen
+
+        # stacked layer axis -> serving prefill/decode scan ONE compiled layer
+        # body instead of num_hidden_layers inlined copies
+        if stack_layers and isinstance(params.get("layers"), list):
+            params = _qwen.stack_params(params)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
+        self.prefix_cache = lm_serving.PrefixCache(max_entries=8)
+        self.use_prefix_cache = use_prefix_cache
 
     @staticmethod
     def _bucket(ids):
@@ -341,6 +387,61 @@ class LMPipeline:
         n = int(n_gen[0])
         return np.asarray(tokens[0, :n]), n
 
+    # -- prefix-cached prefill ----------------------------------------------
+
+    def _prefill_state(self, ids, total_len: int, insert: bool = False):
+        """Batch-1 prefill of ``ids`` into a cache with room for ``total_len``
+        positions, reusing the longest cached token prefix.  Returns
+        (cache, logits [1, V])."""
+        ids = list(ids)[:4096]
+        hit = self.prefix_cache.lookup(ids) if self.use_prefix_cache else None
+        if hit is not None:
+            n0, cache0, logits0 = hit
+            cache = kvc.grow_cache(cache0, total_len)
+            if n0 == len(ids):
+                return cache, logits0
+            rest = ids[n0:]
+            bucket = _suffix_bucket(len(rest))
+            suffix = jnp.asarray([rest + [0] * (bucket - len(rest))], jnp.int32)
+            logits, cache = lm_serving.extend_prefill_jit(
+                self.params, self.cfg, cache, suffix,
+                jnp.asarray([n0], jnp.int32),
+                jnp.asarray([len(rest)], jnp.int32),
+            )
+        else:
+            prompt_ids = jnp.asarray([self._bucket(ids)], jnp.int32)
+            total_len = max(total_len, prompt_ids.shape[1] + 1)
+            cache = kvc.init_cache(
+                self.cfg.num_hidden_layers, 1, self.cfg.num_key_value_heads,
+                total_len, self.cfg.head_dim,
+            )
+            logits, cache = lm_serving._prefill_jit(
+                self.params, self.cfg, prompt_ids,
+                jnp.asarray([len(ids)], jnp.int32), cache,
+            )
+        if insert and self.use_prefix_cache:
+            self.prefix_cache.insert(ids, cache, logits)
+        return cache, logits
+
+    def _decode_batch(
+        self, cache, logits, sp: SamplingParams, key, batch: int,
+        min_arr=None, forced_arr=None,
+        ucache=None, ulogits=None,
+    ):
+        """Broadcast a batch-1 prefill state to ``batch`` candidate rows and run
+        the decode scan; returns (tokens [B, max_new] np, n_gen [B] np)."""
+        cache_b = kvc.broadcast_cache(cache, batch)
+        logits_b = jnp.broadcast_to(logits, (batch, logits.shape[-1]))
+        ukw = {}
+        if ucache is not None:
+            ukw = dict(ucache=kvc.broadcast_cache(ucache, batch),
+                       ulogits=jnp.broadcast_to(ulogits, (batch, ulogits.shape[-1])))
+        tokens, n_gen = lm_serving.decode_from_state(
+            self.params, self.cfg, cache_b, logits_b, key, sp,
+            min_tokens_arr=min_arr, forced_eos_arr=forced_arr, **ukw,
+        )
+        return np.asarray(tokens), np.asarray(n_gen)
+
     def generate_with_stop_condition(
         self,
         caption: str,
@@ -357,8 +458,18 @@ class LMPipeline:
         user_metadata: Optional[Dict[str, Any]] = None,
         seed: int = 0,
         thinking: bool = True,
+        batch_size: int = 1,
+        chunk_size: int = 4,
+        constrained_cot: bool = False,
     ) -> LMResult:
-        """Phase 1 CoT -> parse metadata -> Phase 2 duration-constrained codes."""
+        """Phase 1 CoT -> parse metadata -> Phase 2 duration-constrained codes.
+
+        ``batch_size`` > 1 generates that many candidate code sequences from the
+        shared phase-1 CoT (chunked by ``chunk_size`` =
+        GenerationConfig.lm_batch_chunk_size; llm_inference.py:1252-1330); the
+        first candidate populates the LMResult, all are in ``candidates``.
+        ``constrained_cot`` runs phase 1 under the metadata FSM
+        (constrained_logits_processor.py:81+ analog)."""
         time_costs: Dict[str, float] = {}
         key = jax.random.key(seed)
         k1, k2 = jax.random.split(key)
@@ -367,22 +478,18 @@ class LMPipeline:
         cot_text = ""
         if thinking:
             t0 = time.perf_counter()
-            prompt = build_formatted_prompt(caption, lyrics, generation_phase="cot")
-            sp = SamplingParams(
-                temperature=temperature, top_p=top_p, top_k=top_k,
-                max_new_tokens=max_cot_tokens,
-                stop_tokens=(self.tok.think_end_id,),
-                cfg_scale=cfg_scale,
-            )
-            uncond = build_formatted_prompt(
-                caption, lyrics, is_negative_prompt=True,
-                generation_phase="cot", negative_prompt=negative_prompt,
-            ) if cfg_scale != 1.0 else None
-            toks, _ = self._run(prompt, sp, k1, uncond)
-            cot_body = self.tok.decode([t for t in toks if t != self.tok.think_end_id])
-            cot_text = f"<think>\n{cot_body}".rstrip()
-            if not cot_text.endswith("</think>"):
-                cot_text += "\n</think>"
+            if constrained_cot:
+                cot_text = self._run_cot_fsm(
+                    caption, lyrics, metadata, k1,
+                    temperature=temperature, max_cot_tokens=max_cot_tokens,
+                )
+            else:
+                cot_text = self._run_cot_free(
+                    caption, lyrics, k1,
+                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    cfg_scale=cfg_scale, negative_prompt=negative_prompt,
+                    max_cot_tokens=max_cot_tokens,
+                )
             parsed, _ = parse_lm_output(cot_text)
             # user metadata wins over model CoT (inference.py:539-558 merge)
             for k, v in parsed.items():
@@ -397,26 +504,53 @@ class LMPipeline:
         except (TypeError, ValueError):
             duration = 30.0
         n_codes = int(round(duration * LM_CODE_RATE))
+        if max_code_tokens is not None:
+            n_codes = min(n_codes, max_code_tokens)
 
         t0 = time.perf_counter()
         prompt2 = build_formatted_prompt_with_cot(caption, lyrics, cot_text or metadata_to_cot(metadata))
         base = self.tok.audio_code_base_id
+        bucket = code_bucket(n_codes + 2)
         sp2 = SamplingParams(
             temperature=temperature, top_p=top_p, top_k=top_k,
-            max_new_tokens=n_codes + 2,
+            max_new_tokens=bucket,
             allowed_range=(base, base + AUDIO_CODEBOOK_SIZE),
             eos_token=self.tok.eos_token_id,
-            min_tokens=n_codes,
-            forced_eos_at=n_codes,
             cfg_scale=cfg_scale,
         )
-        uncond2 = build_formatted_prompt_with_cot(
-            caption, lyrics, "", is_negative_prompt=True, negative_prompt=negative_prompt,
-        ) if cfg_scale != 1.0 else None
-        toks, _ = self._run(prompt2, sp2, k2, uncond2)
-        code_ids = np.asarray(
-            [t - base for t in toks if base <= t < base + AUDIO_CODEBOOK_SIZE], np.int32
-        )
+        ids2 = self.tok.encode(prompt2)
+        total_len = len(self._bucket(ids2)) + bucket + 1
+        cache, logits = self._prefill_state(ids2, total_len)
+        ucache = ulogits = None
+        if cfg_scale != 1.0:
+            uncond2 = build_formatted_prompt_with_cot(
+                caption, lyrics, "", is_negative_prompt=True,
+                negative_prompt=negative_prompt,
+            )
+            uids = self.tok.encode(uncond2)
+            ucache, ulogits = self._prefill_state(
+                uids, len(self._bucket(uids)) + bucket + 1
+            )
+
+        candidates: List[np.ndarray] = []
+        remaining = max(1, batch_size)
+        ck = k2
+        while remaining > 0:
+            nb = min(remaining, max(1, chunk_size))
+            ck, sub = jax.random.split(ck)
+            min_arr = jnp.full((nb,), n_codes, jnp.int32)
+            forced_arr = jnp.full((nb,), n_codes, jnp.int32)
+            toks, n_gen = self._decode_batch(
+                cache, logits, sp2, sub, nb,
+                min_arr=min_arr, forced_arr=forced_arr,
+                ucache=ucache, ulogits=ulogits,
+            )
+            for i in range(nb):
+                row = toks[i, : int(n_gen[i])]
+                codes = row[(row >= base) & (row < base + AUDIO_CODEBOOK_SIZE)] - base
+                candidates.append(codes.astype(np.int32))
+            remaining -= nb
+        code_ids = candidates[0]
         time_costs["lm_phase2_time_cost"] = time.perf_counter() - t0
 
         return LMResult(
@@ -425,7 +559,76 @@ class LMPipeline:
             audio_codes=indices_to_codes(code_ids),
             code_indices=code_ids,
             time_costs=time_costs,
+            candidates=candidates,
         )
+
+    # -- phase-1 variants ----------------------------------------------------
+
+    def _run_cot_free(
+        self, caption, lyrics, key, *, temperature, top_p, top_k, cfg_scale,
+        negative_prompt, max_cot_tokens,
+    ) -> str:
+        """Unconstrained CoT sampling (prefix-cached prompt prefill)."""
+        prompt = build_formatted_prompt(caption, lyrics, generation_phase="cot")
+        ids = self.tok.encode(prompt)
+        sp = SamplingParams(
+            temperature=temperature, top_p=top_p, top_k=top_k,
+            max_new_tokens=max_cot_tokens,
+            stop_tokens=(self.tok.think_end_id,),
+            cfg_scale=cfg_scale,
+        )
+        total_len = len(self._bucket(ids)) + max_cot_tokens + 1
+        cache, logits = self._prefill_state(ids, total_len, insert=True)
+        ucache = ulogits = None
+        if cfg_scale != 1.0:
+            uncond = build_formatted_prompt(
+                caption, lyrics, is_negative_prompt=True,
+                generation_phase="cot", negative_prompt=negative_prompt,
+            )
+            uids = self.tok.encode(uncond)
+            ucache, ulogits = self._prefill_state(
+                uids, len(self._bucket(uids)) + max_cot_tokens + 1
+            )
+        toks, n_gen = self._decode_batch(
+            cache, logits, sp, key, 1, ucache=ucache, ulogits=ulogits
+        )
+        row = [int(t) for t in toks[0, : int(n_gen[0])] if t >= 0]
+        cot_body = self.tok.decode([t for t in row if t != self.tok.think_end_id])
+        cot_text = f"<think>\n{cot_body}".rstrip()
+        if not cot_text.endswith("</think>"):
+            cot_text += "\n</think>"
+        return cot_text
+
+    def _run_cot_fsm(
+        self, caption, lyrics, user_metadata, key, *, temperature, max_cot_tokens,
+    ) -> str:
+        """FSM-constrained CoT: field order + value grammars enforced during
+        generation, with user metadata injected as forced text
+        (constrained_logits_processor.py:425 user injection)."""
+        from acestep_tpu.constrained import FSMConfig, MetadataFSM
+
+        prompt = build_formatted_prompt(caption, lyrics, generation_phase="cot")
+        ids = self.tok.encode(prompt)
+        fsm = MetadataFSM(FSMConfig(), user_metadata=user_metadata or {})
+        vocab_strs = self.vocab_strs()
+        out_ids, text = lm_serving.generate_with_fsm(
+            self.params, self.cfg, ids, fsm, vocab_strs, key,
+            temperature=temperature, max_new_tokens=max_cot_tokens,
+        )
+        body = text.strip()
+        return f"<think>\n{body}\n</think>"
+
+    def vocab_strs(self) -> List[str]:
+        """Token id -> string piece for the whole vocab (FSM masking)."""
+        if getattr(self, "_vocab_strs", None) is None:
+            tok = self.tok
+            if hasattr(tok, "vocab_strs"):
+                self._vocab_strs = tok.vocab_strs()
+            else:
+                self._vocab_strs = [
+                    tok.decode([i]) for i in range(self.cfg.vocab_size)
+                ]
+        return self._vocab_strs
 
     def understand_audio_from_codes(
         self, audio_codes: str, *, temperature: float = 0.7, top_p: float = 0.95,

@@ -95,6 +95,39 @@ def append_token(
     return KVCache(new_k, new_v, new_ks, new_vs, cache.length)
 
 
+def grow_cache(cache: KVCache, new_max_len: int) -> KVCache:
+    """Zero-pad the time axis to ``new_max_len`` (prefix-cache reuse: a cached
+    prefill sized for phase 1 grows to hold phase 2's prompt + codes)."""
+    cur = cache.max_len
+    if new_max_len <= cur:
+        return cache
+    pad = new_max_len - cur
+    return KVCache(
+        jnp.pad(cache.k, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        jnp.pad(cache.v, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))),
+        jnp.pad(cache.k_scale, ((0, 0), (0, 0), (0, 0), (0, pad))),
+        jnp.pad(cache.v_scale, ((0, 0), (0, 0), (0, 0), (0, pad))),
+        cache.length,
+    )
+
+
+def broadcast_cache(cache: KVCache, batch: int) -> KVCache:
+    """Tile a batch-1 cache to ``batch`` rows (one shared prompt prefill feeds
+    a whole batch of candidate decodes)."""
+    if cache.k.shape[1] == batch:
+        return cache
+    assert cache.k.shape[1] == 1, "can only broadcast a batch-1 cache"
+    reps4 = (1, batch, 1, 1, 1)
+    reps3 = (1, batch, 1, 1)
+    return KVCache(
+        jnp.tile(cache.k, reps4),
+        jnp.tile(cache.v, reps4),
+        jnp.tile(cache.k_scale, reps3),
+        jnp.tile(cache.v_scale, reps3),
+        jnp.tile(cache.length, (batch,)),
+    )
+
+
 def advance(cache: KVCache, active: jax.Array) -> KVCache:
     """Bump lengths for active (non-finished) sequences."""
     return KVCache(

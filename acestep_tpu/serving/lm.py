@@ -46,6 +46,58 @@ def _rope_at(positions: jax.Array, head_dim: int, base: float):
     return jnp.cos(emb)[:, None, :], jnp.sin(emb)[:, None, :]
 
 
+def _mm_cast(x: jax.Array, dtype) -> jax.Array:
+    """Matmul operand cast: bf16 feeds the MXU on TPU (int8 cache values are
+    exactly representable); f32 off-TPU (XLA:CPU dot-thunk bf16 gaps)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return x.astype(jnp.float32)
+    return x.astype(dtype)
+
+
+def attention_int8(
+    q: jax.Array,                  # [B, Hq, Tq, D] (bf16/f32, post-RoPE)
+    kq: jax.Array,                 # [B, Hkv, T, D] int8
+    ks: jax.Array,                 # [B, Hkv, T] f32 per-vector scales
+    vq: jax.Array,                 # [B, Hkv, T, D] int8
+    vs: jax.Array,                 # [B, Hkv, T] f32
+    bias: jax.Array,               # [B, Tq, T] or [B, 1, T] additive f32
+) -> jax.Array:
+    """GQA attention CONSUMING the int8 KV cache directly.
+
+    Per-vector scales fold exactly into the matmuls instead of materializing a
+    dequantized [B, H, T, D] cache copy every step (round-1 weak spot:
+    serving/lm.py dequantize_kv per layer per token):
+      scores[t] = (q . k_int8[t]) * k_scale[t]
+      out       = sum_t (p[t] * v_scale[t]) * v_int8[t]
+    """
+    import math as _math
+
+    b, hq, tq, d = q.shape
+    hkv = kq.shape[1]
+    rep = hq // hkv
+    dtype = q.dtype
+    scale = 1.0 / _math.sqrt(d)
+
+    qg = q.reshape(b, hkv, rep, tq, d)
+    s = jnp.einsum(
+        "bgrqd,bgtd->bgrqt", _mm_cast(qg, dtype), _mm_cast(kq, dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s * ks[:, :, None, None, :]
+    s = s + bias[:, None, None, :, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    p = p * vs[:, :, None, None, :]
+    out = jnp.einsum(
+        "bgrqt,bgtd->bgrqd", _mm_cast(p.astype(dtype), dtype), _mm_cast(vq, dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, hq, tq, d).astype(dtype)
+
+
+def _layers_stacked(params) -> bool:
+    return not isinstance(params["layers"], list)
+
+
 def prefill(
     params: Dict[str, Any],
     cfg: QwenConfig,
@@ -54,7 +106,10 @@ def prefill(
     cache: KVCache,
 ) -> Tuple[jax.Array, KVCache]:
     """Full causal forward over the prompt; fills the cache; returns logits at the
-    last valid position of each sequence [B, vocab]."""
+    last valid position of each sequence [B, vocab].
+
+    Stacked layer params run as ONE lax.scan over the layer axis (a single
+    compiled layer body — 28x smaller compile units than the unrolled loop)."""
     b, t = token_ids.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     x = params["embed_tokens"][token_ids]
@@ -64,7 +119,8 @@ def prefill(
     valid = (positions[None, :] < lengths[:, None]).astype(jnp.int32)
     mask = make_attention_mask(t, t, kv_valid=valid, causal=True)
 
-    for li, p in enumerate(params["layers"]):
+    def layer_fn(x, p):
+        """Returns (x_out, (kq, ks, vq, vs)) for this layer."""
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
         q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t, nh, hd)
         k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t, nkv, hd)
@@ -73,13 +129,35 @@ def prefill(
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         q, k = apply_rope(q, k, cos, sin)
-        cache = kvc.write_prompt(cache, li, k, v, lengths)
+        kq, ks = kvc.quantize_kv(k)
+        vq, vs = kvc.quantize_kv(v)
         attn = attention(q, k, v, mask=mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
         x = x + linear(attn, p["o_proj"]["kernel"])
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn)
+        return x, (kq, ks, vq, vs)
 
+    if _layers_stacked(params):
+        x, (kq_all, ks_all, vq_all, vs_all) = jax.lax.scan(
+            lambda c, p: layer_fn(c, p), x, params["layers"]
+        )
+    else:
+        outs = []
+        for p in params["layers"]:
+            x, o = layer_fn(x, p)
+            outs.append(o)
+        kq_all, ks_all, vq_all, vs_all = (
+            jnp.stack([o[i] for o in outs]) for i in range(4)
+        )
+
+    cache = KVCache(
+        cache.k.at[:, :, :, :t, :].set(kq_all),
+        cache.v.at[:, :, :, :t, :].set(vq_all),
+        cache.k_scale.at[:, :, :, :t].set(ks_all),
+        cache.v_scale.at[:, :, :, :t].set(vs_all),
+        lengths,
+    )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     last = jnp.take_along_axis(
         x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
@@ -94,7 +172,11 @@ def decode_step(
     cache: KVCache,
     token_ids: jax.Array,          # [B] current input tokens
 ) -> Tuple[jax.Array, KVCache]:
-    """One decode position at each sequence's current length -> logits [B, vocab]."""
+    """One decode position at each sequence's current length -> logits [B, vocab].
+
+    Attention consumes the int8 cache directly (scale folding, no dequantized
+    copy); stacked params scan over layers with the per-layer cache slices as
+    scan inputs/outputs."""
     b = token_ids.shape[0]
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     t_max = cache.max_len
@@ -103,11 +185,13 @@ def decode_step(
 
     pos_ids = jnp.arange(t_max)
     # new token sits AT position `length`; it may attend to [0, length]
-    attn_mask = jnp.where(
+    bias = jnp.where(
         pos_ids[None, :] <= cache.length[:, None], 0.0, NEG_INF
-    ).astype(jnp.float32)[:, None, None, :]                # [B, 1, 1, T_max]
+    ).astype(jnp.float32)[:, None, :]                     # [B, 1, T_max]
+    bidx = jnp.arange(b)
 
-    for li, p in enumerate(params["layers"]):
+    def layer_fn(x, p, kq_l, ks_l, vq_l, vs_l):
+        """kq_l/vq_l: [B, Hkv, T, D] int8 slices; returns updated slices."""
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
         q = linear(xn, p["q_proj"]["kernel"]).reshape(b, 1, nh, hd)
         k = linear(xn, p["k_proj"]["kernel"]).reshape(b, 1, nkv, hd)
@@ -116,14 +200,43 @@ def decode_step(
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
         q, k = apply_rope(q, k, cos[:, None], sin[:, None])
-        cache = kvc.append_token(cache, li, k, v)
-        k_all = kvc.dequantize_kv(cache.k[li], cache.k_scale[li])   # [B, Hkv, T, D]
-        v_all = kvc.dequantize_kv(cache.v[li], cache.v_scale[li])
-        attn = attention(q, k_all, v_all, mask=attn_mask)
+        kq_new, ks_new = kvc.quantize_kv(k[:, :, 0, :])   # [B, Hkv, D], [B, Hkv]
+        vq_new, vs_new = kvc.quantize_kv(v[:, :, 0, :])
+        kq_l = kq_l.at[bidx, :, cache.length, :].set(kq_new)
+        vq_l = vq_l.at[bidx, :, cache.length, :].set(vq_new)
+        ks_l = ks_l.at[bidx, :, cache.length].set(ks_new)
+        vs_l = vs_l.at[bidx, :, cache.length].set(vs_new)
+        attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
         x = x + linear(attn, p["o_proj"]["kernel"])
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn)
+        return x, (kq_l, ks_l, vq_l, vs_l)
+
+    if _layers_stacked(params):
+        def scan_body(x, xs):
+            p, kq_l, ks_l, vq_l, vs_l = xs
+            return layer_fn(x, p, kq_l, ks_l, vq_l, vs_l)
+
+        x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
+            scan_body, x,
+            (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale),
+        )
+        cache = KVCache(k_new, v_new, ks_new, vs_new, cache.length)
+    else:
+        ks_list, vs_list, kq_list, vq_list = [], [], [], []
+        for li, p in enumerate(params["layers"]):
+            x, (kq_l, ks_l, vq_l, vs_l) = layer_fn(
+                x, p, cache.k[li], cache.k_scale[li], cache.v[li], cache.v_scale[li]
+            )
+            kq_list.append(kq_l)
+            ks_list.append(ks_l)
+            vq_list.append(vq_l)
+            vs_list.append(vs_l)
+        cache = KVCache(
+            jnp.stack(kq_list), jnp.stack(vq_list),
+            jnp.stack(ks_list), jnp.stack(vs_list), cache.length,
+        )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     logits = qwen.lm_logits(params, cfg, x)[:, 0, :]
@@ -177,34 +290,19 @@ class SamplingParams:
     cfg_scale: float = 1.0            # >1 enables paired-uncond guidance
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
-def generate(
-    params: Dict[str, Any],
-    cfg: QwenConfig,
-    prompt_ids: jax.Array,            # [B, T] right-padded int32
-    prompt_lengths: jax.Array,        # [B]
-    key: jax.Array,
-    sp: SamplingParams,
-    uncond_prompt_ids: Optional[jax.Array] = None,     # [B, T2] for CFG
-    uncond_prompt_lengths: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Generate up to max_new_tokens for each sequence; returns
-    (tokens [B, max_new], n_generated [B]).  One device dispatch."""
-    b, t_prompt = prompt_ids.shape
-    max_len = t_prompt + sp.max_new_tokens + 1
-    n_layers = cfg.num_hidden_layers
-    use_cfg = sp.cfg_scale != 1.0 and uncond_prompt_ids is not None
-
-    cache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, max_len, cfg.head_dim)
-    logits, cache = prefill(params, cfg, prompt_ids, prompt_lengths, cache)
-
+def _scan_decode(
+    params, cfg, sp: SamplingParams, b: int,
+    cache, logits, key,
+    ucache=None, ulogits=None,
+    min_tokens_arr=None, forced_eos_arr=None,
+):
+    """Shared decode scan: sample from ``logits`` then run max_new_tokens-1
+    cached decode steps.  ``min_tokens_arr`` / ``forced_eos_arr`` are TRACED
+    per-item [B] overrides of the static sp.min_tokens / sp.forced_eos_at —
+    mixed durations share one compiled scan (code-count bucketing)."""
+    use_cfg = sp.cfg_scale != 1.0 and ucache is not None
     if use_cfg:
-        u_max = uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1
-        ucache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, u_max, cfg.head_dim)
-        ulogits, ucache = prefill(params, cfg, uncond_prompt_ids, uncond_prompt_lengths, ucache)
         logits = ulogits + sp.cfg_scale * (logits - ulogits)
-    else:
-        ucache = None
 
     vocab = logits.shape[-1]
     vocab_ids = jnp.arange(vocab)
@@ -220,16 +318,20 @@ def generate(
         if range_mask is not None:
             logits = jnp.where(range_mask[None, :], logits, NEG_INF)
         if sp.eos_token is not None:
-            if sp.min_tokens > 0:
+            is_eos = vocab_ids[None, :] == sp.eos_token
+            if min_tokens_arr is not None:
                 logits = jnp.where(
-                    (step < sp.min_tokens) & (vocab_ids[None, :] == sp.eos_token),
-                    NEG_INF, logits,
+                    (step < min_tokens_arr[:, None]) & is_eos, NEG_INF, logits
                 )
-            if sp.forced_eos_at is not None:
+            elif sp.min_tokens > 0:
+                logits = jnp.where((step < sp.min_tokens) & is_eos, NEG_INF, logits)
+            if forced_eos_arr is not None:
+                logits = jnp.where(
+                    (step >= forced_eos_arr[:, None]) & ~is_eos, NEG_INF, logits
+                )
+            elif sp.forced_eos_at is not None:
                 force = step >= sp.forced_eos_at
-                logits = jnp.where(
-                    force & (vocab_ids[None, :] != sp.eos_token), NEG_INF, logits
-                )
+                logits = jnp.where(force & ~is_eos, NEG_INF, logits)
         return logits
 
     def is_stop(tok):
@@ -277,6 +379,64 @@ def generate(
     first_stop = jnp.argmax(stops, axis=1)
     n_gen = jnp.where(any_stop, first_stop + 1, sp.max_new_tokens)
     return tokens, n_gen.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+def generate(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    prompt_ids: jax.Array,            # [B, T] right-padded int32
+    prompt_lengths: jax.Array,        # [B]
+    key: jax.Array,
+    sp: SamplingParams,
+    uncond_prompt_ids: Optional[jax.Array] = None,     # [B, T2] for CFG
+    uncond_prompt_lengths: Optional[jax.Array] = None,
+    min_tokens_arr: Optional[jax.Array] = None,        # [B] traced override
+    forced_eos_arr: Optional[jax.Array] = None,        # [B] traced override
+) -> Tuple[jax.Array, jax.Array]:
+    """Generate up to max_new_tokens for each sequence; returns
+    (tokens [B, max_new], n_generated [B]).  One device dispatch."""
+    b, t_prompt = prompt_ids.shape
+    max_len = t_prompt + sp.max_new_tokens + 1
+    n_layers = cfg.num_hidden_layers
+    use_cfg = sp.cfg_scale != 1.0 and uncond_prompt_ids is not None
+
+    cache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    logits, cache = prefill(params, cfg, prompt_ids, prompt_lengths, cache)
+
+    ucache = ulogits = None
+    if use_cfg:
+        u_max = uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1
+        ucache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, u_max, cfg.head_dim)
+        ulogits, ucache = prefill(params, cfg, uncond_prompt_ids, uncond_prompt_lengths, ucache)
+
+    return _scan_decode(
+        params, cfg, sp, b, cache, logits, key, ucache, ulogits,
+        min_tokens_arr, forced_eos_arr,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+def decode_from_state(
+    params: Dict[str, Any],
+    cfg: QwenConfig,
+    cache: KVCache,                   # post-prefill (lengths set)
+    logits: jax.Array,                # [B, vocab] logits at the last position
+    key: jax.Array,
+    sp: SamplingParams,
+    ucache: Optional[KVCache] = None,
+    ulogits: Optional[jax.Array] = None,
+    min_tokens_arr: Optional[jax.Array] = None,
+    forced_eos_arr: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode loop starting from an existing prefilled cache (the prefix-cache
+    path: the shared system+user prompt prefill is reused across the two-phase
+    flow — nano-vllm block_manager.py:44-50 prefix reuse, dense-cache form)."""
+    b = logits.shape[0]
+    return _scan_decode(
+        params, cfg, sp, b, cache, logits, key, ucache, ulogits,
+        min_tokens_arr, forced_eos_arr,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -348,30 +508,41 @@ def extend_prefill(
     params: Dict[str, Any],
     cfg: QwenConfig,
     cache: KVCache,
-    new_ids: jax.Array,            # [B, T2] tokens to append
+    new_ids: jax.Array,            # [B, T2] tokens to append (right-padded)
     start: jax.Array,              # [B] current lengths (== cache.length)
+    suffix_lengths: Optional[jax.Array] = None,   # [B] valid tokens in new_ids
 ) -> Tuple[jax.Array, KVCache]:
-    """Prefill a suffix at positions [start, start+T2); returns last logits."""
+    """Prefill a suffix at positions [start, start+len); returns logits at the
+    last VALID suffix position.  ``new_ids`` may be right-padded to a bucket
+    (suffix_lengths < T2): pad positions scatter out-of-bounds and are dropped,
+    so compile caches are keyed by the bucket, not the exact suffix length."""
     b, t2 = new_ids.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     t_max = cache.max_len
+    if suffix_lengths is None:
+        suffix_lengths = jnp.full((b,), t2, jnp.int32)
     x = params["embed_tokens"][new_ids]
 
-    pos = start[:, None] + jnp.arange(t2)[None, :]            # [B, T2]
+    offs = jnp.arange(t2)[None, :]
+    pos = start[:, None] + offs                                # [B, T2]
+    pad = offs >= suffix_lengths[:, None]                      # [B, T2] True=pad
     inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
     freqs = pos.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)            # [B, T2, hd]
-    cos = jnp.cos(emb)[:, None, :, :]
-    sin = jnp.sin(emb)[:, None, :, :]
 
     # suffix token i attends to cache positions <= start + i
     kpos = jnp.arange(t_max)[None, None, :]
     qpos = pos[:, :, None]
-    cache_mask = jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)
-    cache_mask = cache_mask[:, None, :, :]                    # [B, 1, T2, T_max]
+    cache_bias = jnp.where(kpos <= qpos, 0.0, NEG_INF).astype(jnp.float32)  # [B, T2, T_max]
 
-    new_len = start + t2
-    for li, p in enumerate(params["layers"]):
+    new_len = start + suffix_lengths
+    # pad positions scatter out of bounds -> dropped
+    tpos_write = jnp.where(pad, t_max, pos)
+    bidx = jnp.arange(b)[:, None]
+    hidx = jnp.arange(nkv)[None, :, None]
+    tw = tpos_write[:, None, :]
+
+    def layer_fn(x, p, kq_l, ks_l, vq_l, vs_l):
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
         q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t2, nh, hd)
         k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t2, nkv, hd)
@@ -382,30 +553,53 @@ def extend_prefill(
         q = q * jnp.cos(emb)[:, None] + _rotate_half_4d(q) * jnp.sin(emb)[:, None]
         k = k * jnp.cos(emb)[:, None] + _rotate_half_4d(k) * jnp.sin(emb)[:, None]
 
-        # write suffix K/V at [start, start+t2) via broadcasted scatter
+        # write suffix K/V at [start, start+len) via broadcasted scatter
         kq, ks = kvc.quantize_kv(k)
         vq, vs = kvc.quantize_kv(v)
-        bidx = jnp.arange(b)[:, None]
-        tpos = start[:, None] + jnp.arange(t2)[None, :]
-        cache = KVCache(
-            cache.k.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(kq),
-            cache.v.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(vq),
-            cache.k_scale.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(ks),
-            cache.v_scale.at[li, bidx[:, None, :], jnp.arange(nkv)[None, :, None], tpos[:, None, :]].set(vs),
-            cache.length,
-        )
-        k_all = kvc.dequantize_kv(cache.k[li], cache.k_scale[li])
-        v_all = kvc.dequantize_kv(cache.v[li], cache.v_scale[li])
-        attn = attention(q, k_all, v_all, mask=cache_mask)
+        kq_l = kq_l.at[bidx[:, None, :], hidx, tw].set(kq, mode="drop")
+        vq_l = vq_l.at[bidx[:, None, :], hidx, tw].set(vq, mode="drop")
+        ks_l = ks_l.at[bidx[:, None, :], hidx, tw].set(ks, mode="drop")
+        vs_l = vs_l.at[bidx[:, None, :], hidx, tw].set(vs, mode="drop")
+        attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, cache_bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t2, nh * hd)
         x = x + linear(attn, p["o_proj"]["kernel"])
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn)
+        return x, (kq_l, ks_l, vq_l, vs_l)
 
-    cache = KVCache(cache.k, cache.v, cache.k_scale, cache.v_scale, new_len)
+    if _layers_stacked(params):
+        def scan_body(x, xs):
+            p, kq_l, ks_l, vq_l, vs_l = xs
+            return layer_fn(x, p, kq_l, ks_l, vq_l, vs_l)
+
+        x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
+            scan_body, x,
+            (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale),
+        )
+        cache = KVCache(k_new, v_new, ks_new, vs_new, new_len)
+    else:
+        kq_list, ks_list, vq_list, vs_list = [], [], [], []
+        for li, p in enumerate(params["layers"]):
+            x, (kq_l, ks_l, vq_l, vs_l) = layer_fn(
+                x, p, cache.k[li], cache.k_scale[li], cache.v[li], cache.v_scale[li]
+            )
+            kq_list.append(kq_l)
+            ks_list.append(ks_l)
+            vq_list.append(vq_l)
+            vs_list.append(vs_l)
+        cache = KVCache(
+            jnp.stack(kq_list), jnp.stack(vq_list),
+            jnp.stack(ks_list), jnp.stack(vs_list), new_len,
+        )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    logits = qwen.lm_logits(params, cfg, x[:, -1:, :])[:, 0, :]
+    last = jnp.take_along_axis(
+        x, (suffix_lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )
+    logits = qwen.lm_logits(params, cfg, last)[:, 0, :]
     return logits.astype(jnp.float32), cache
+
+
+extend_prefill_jit = jax.jit(extend_prefill, static_argnames=("cfg",))
 
 
 def _rotate_half_4d(x):

@@ -140,3 +140,44 @@ def test_no_thinking_uses_user_metadata(pipe, monkeypatch):
     assert res.metadata["bpm"] == 100
     assert len(res.code_indices) == 10
     assert "lm_phase1_time_cost" not in res.time_costs
+
+
+def test_batch_candidates_and_prefix_cache(pipe, monkeypatch):
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 500)
+    pipe.prefix_cache.hits = pipe.prefix_cache.misses = 0
+    res = pipe.generate_with_stop_condition(
+        "warm synth", "ah ah", target_duration_s=2.0,
+        max_cot_tokens=8, seed=3, batch_size=3, chunk_size=2,
+    )
+    assert res.candidates is not None and len(res.candidates) == 3
+    for c in res.candidates:
+        assert len(c) == 10            # duration-constrained EOS per candidate
+    np.testing.assert_array_equal(res.candidates[0], res.code_indices)
+    # phase 2 re-uses the phase-1 system+user prompt prefill
+    assert pipe.prefix_cache.hits >= 1
+
+
+def test_mixed_durations_share_code_bucket(pipe, monkeypatch):
+    """5 s and 8 s both bucket to 64 code tokens -> shared compiled scan; each
+    still stops at its own forced-EOS count (traced operand)."""
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 500)
+    assert lp.code_bucket(int(5 * 5) + 2) == lp.code_bucket(int(8 * 5) + 2) == 64
+    r5 = pipe.generate_with_stop_condition("a", "b", target_duration_s=5.0,
+                                           thinking=False, user_metadata={"duration": 5})
+    r8 = pipe.generate_with_stop_condition("a", "b", target_duration_s=8.0,
+                                           thinking=False, user_metadata={"duration": 8})
+    assert len(r5.code_indices) == 25
+    assert len(r8.code_indices) == 40
+
+
+def test_constrained_cot_fsm(pipe, monkeypatch):
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 500)
+    res = pipe.generate_with_stop_condition(
+        "fsm test", "", target_duration_s=2.0,
+        max_cot_tokens=64, seed=5, constrained_cot=True,
+        user_metadata={"bpm": 120},
+    )
+    # FSM injects user metadata as forced text and keeps field order
+    assert res.cot_text.startswith("<think>")
+    assert "bpm: 120" in res.cot_text
+    assert len(res.code_indices) == 10
