@@ -17,7 +17,9 @@ import numpy as np
 
 from acestep_tpu.config import DiTConfig
 from acestep_tpu.models import dit
-from acestep_tpu.ops import apply_rope, linear, make_attention_mask, rms_norm, rope_cos_sin
+from acestep_tpu.ops import (
+    apply_rope, attention, linear, make_attention_mask, rms_norm, rope_cos_sin,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +111,10 @@ def cross_attention_maps(
         sm = None
         if sliding_mask is not None:
             sm = jnp.where(flag, sliding_mask, jnp.zeros_like(sliding_mask))
-        x = x + dit._self_attention(p["self_attn"], cfg, normed, cos, sin, sm) * gate_msa
+        x = x + dit._self_attention(
+            p["self_attn"], cfg, normed, cos, sin,
+            lambda q, k, v: attention(q, k, v, mask=sm),
+        ) * gate_msa
 
         normed = rms_norm(x, p["cross_attn_norm"], cfg.rms_norm_eps)
         probs = _cross_attn_probs(p["cross_attn"], cfg, normed, (k_l, v_l), cross_mask)
@@ -135,30 +140,35 @@ def dtw_path(similarity: np.ndarray) -> List[Tuple[int, int]]:
     Returns the path as (t, n) pairs, start to end."""
     sim = np.asarray(similarity, dtype=np.float64)
     t_len, n_len = sim.shape
-    cost = np.full((t_len, n_len), -np.inf)
     move = np.zeros((t_len, n_len), dtype=np.int8)   # 0:diag 1:up(t) 2:left(n)
-    cost[0, 0] = sim[0, 0]
+
+    # Row-vectorized DP (the reference needs numba for its scalar loop,
+    # dit_alignment_score.py:40-117; this runs 7500x2048 in well under a
+    # second in pure numpy).  Within a row the only dependency is the "left"
+    # move: row[n] = max(ub[n], row[n-1]) + s[n] with ub[n] =
+    # max(prev[n-1], prev[n]).  That max-plus recurrence has the closed form
+    #   row[n] = S[n] + running_max_k<=n (g[k]),  g[k] = ub[k] - S[k-1]
+    # with S the prefix sum of s — one cumsum + one maximum.accumulate.
+    prev = np.cumsum(sim[0])               # cost[0, :] (left-only row)
+    move[0, 1:] = 2
     for t in range(1, t_len):
-        cost[t, 0] = cost[t - 1, 0] + sim[t, 0]
-        move[t, 0] = 1
-    for n in range(1, n_len):
-        cost[0, n] = cost[0, n - 1] + sim[0, n]
-        move[0, n] = 2
-    for t in range(1, t_len):
-        prev_diag = cost[t - 1, :-1]
-        prev_left = cost[t, :-1]  # filled progressively; do it rowwise
-        row = cost[t]
-        for n in range(1, n_len):
-            best = cost[t - 1, n - 1]
-            m = 0
-            if cost[t - 1, n] > best:
-                best = cost[t - 1, n]
-                m = 1
-            if row[n - 1] > best:
-                best = row[n - 1]
-                m = 2
-            row[n] = best + sim[t, n]
-            move[t, n] = m
+        s = sim[t]
+        S = np.cumsum(s)
+        row0 = prev[0] + s[0]
+        g = np.empty(n_len)
+        g[0] = row0 - S[0]                 # == prev[0] (S[k-1] for k=0 is 0)
+        ub = np.maximum(prev[:-1], prev[1:])
+        g[1:] = ub - S[:-1]
+        row = S + np.maximum.accumulate(g)
+        row[0] = row0
+
+        mv = np.zeros(n_len, np.int8)
+        mv[0] = 1
+        up_wins = (prev[1:] > prev[:-1]).astype(np.int8)       # up vs diag
+        best_ud = np.maximum(prev[:-1], prev[1:])
+        mv[1:] = np.where(row[:-1] > best_ud, np.int8(2), up_wins)
+        move[t] = mv
+        prev = row
     path = []
     t, n = t_len - 1, n_len - 1
     while True:

@@ -45,6 +45,29 @@ TASK_INSTRUCTIONS = {
     "complete_default": "Complete the input track:",
 }
 
+def get_task_instruction(
+    task_type: str,
+    track_name=None,
+    complete_track_classes=None,
+) -> str:
+    """Resolve the instruction line for a task (handler.py:1581-1610 semantics:
+    track names are upper-cased; complete joins classes with ' | ')."""
+    if task_type == "extract":
+        if track_name:
+            return TASK_INSTRUCTIONS["extract"].format(TRACK_NAME=str(track_name).upper())
+        return TASK_INSTRUCTIONS["extract_default"]
+    if task_type == "lego":
+        if track_name:
+            return TASK_INSTRUCTIONS["lego"].format(TRACK_NAME=str(track_name).upper())
+        return TASK_INSTRUCTIONS["lego_default"]
+    if task_type == "complete":
+        if complete_track_classes:
+            classes = " | ".join(str(t).upper() for t in complete_track_classes)
+            return TASK_INSTRUCTIONS["complete"].format(TRACK_CLASSES=classes)
+        return TASK_INSTRUCTIONS["complete_default"]
+    return TASK_INSTRUCTIONS.get(task_type, TASK_INSTRUCTIONS["text2music"])
+
+
 TRACK_NAMES = [
     "woodwinds", "brass", "fx", "synth", "strings", "percussion",
     "keyboard", "guitar", "bass", "drums", "backing_vocals", "vocals",
