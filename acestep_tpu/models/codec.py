@@ -64,9 +64,12 @@ def values_to_indices(values: jax.Array) -> jax.Array:
 # detokenizer (5 Hz code values -> 25 Hz latents) and tokenizer (inverse)
 # ---------------------------------------------------------------------------
 
-def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32) -> Dict[str, Any]:
+def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32,
+                latent_dim: int = None) -> Dict[str, Any]:
+    """``latent_dim`` overrides the 64-channel default (tiny test VAEs)."""
     ks = jax.random.split(key, 6)
     d = len(FSQ_LEVELS)
+    ld = latent_dim if latent_dim is not None else LATENT_DIM
 
     def conv_p(k, kw, cin, cout):
         scale = 1.0 / math.sqrt(kw * cin)
@@ -80,9 +83,9 @@ def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32) -> Dict[st
         "up": conv_p(ks[1], 3 * CODES_PER_LATENT, hidden, hidden),   # convT stride 5, k=3s p=s -> exact x5
         "res1": conv_p(ks[2], 3, hidden, hidden),
         "res2": conv_p(ks[3], 3, hidden, hidden),
-        "proj_out": conv_p(ks[4], 1, hidden, LATENT_DIM),
+        "proj_out": conv_p(ks[4], 1, hidden, ld),
         # tokenizer direction: 25 Hz latents -> 5 Hz code values
-        "down": conv_p(ks[5], 3 * CODES_PER_LATENT, LATENT_DIM, hidden),
+        "down": conv_p(ks[5], 3 * CODES_PER_LATENT, ld, hidden),
         "tok_out": {"w": (jax.random.normal(jax.random.split(ks[5])[0],
                                             (1, hidden, d), jnp.float32) * 0.05).astype(dtype),
                     "b": jnp.zeros((d,), dtype)},

@@ -83,6 +83,53 @@ class JobStore:
         return {**self.stats, **{f"jobs_{k}": n for k, n in by_status.items()}}
 
 
+class LatencyStats:
+    """Per-phase latency accumulator exposed in /v1/stats.
+
+    Keeps a bounded reservoir per metric; reports count/mean/p50/p90/p99/max
+    (the reference's stats endpoint reports only job counts — api_server.py:2592;
+    histograms were a named round-2 gap)."""
+
+    MAX_SAMPLES = 512
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._samples: Dict[str, list] = {}
+
+    def record(self, metric: str, seconds: float) -> None:
+        with self._lock:
+            buf = self._samples.setdefault(metric, [])
+            buf.append(float(seconds))
+            if len(buf) > self.MAX_SAMPLES:
+                del buf[: len(buf) - self.MAX_SAMPLES]
+
+    def record_time_costs(self, time_costs: Dict[str, Any]) -> None:
+        for k, v in (time_costs or {}).items():
+            if isinstance(v, (int, float)):
+                self.record(k, v)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        def pct(sorted_buf, q):
+            i = min(len(sorted_buf) - 1, int(q * (len(sorted_buf) - 1) + 0.5))
+            return sorted_buf[i]
+
+        out = {}
+        with self._lock:
+            for k, buf in self._samples.items():
+                if not buf:
+                    continue
+                s = sorted(buf)
+                out[k] = {
+                    "count": len(s),
+                    "mean": sum(s) / len(s),
+                    "p50": pct(s, 0.50),
+                    "p90": pct(s, 0.90),
+                    "p99": pct(s, 0.99),
+                    "max": s[-1],
+                }
+        return out
+
+
 class ApiServer:
     """HTTP front over a generation callable.
 
@@ -104,6 +151,10 @@ class ApiServer:
         self.models_info = models_info or {"models": ["acestep-v15-turbo-tpu"]}
         self.api_key = api_key if api_key is not None else os.environ.get("ACESTEP_TPU_API_KEY")
         self.store = JobStore()
+        self.latency = LatencyStats()
+        from acestep_tpu.progress import ProgressEstimator
+
+        self.progress = ProgressEstimator()
         self._queue: "queue.Queue[str]" = queue.Queue()
         self._stop = threading.Event()
         self._httpd: Optional[ThreadingHTTPServer] = None
@@ -120,11 +171,19 @@ class ApiServer:
             job = self.store.get(task_id)
             if job is None:
                 continue
-            self.store.update(task_id, status="running")
+            eta = self.progress.estimate(job["payload"])
+            self.store.update(task_id, status="running", eta_s=eta)
+            t0 = time.time()
             try:
                 result = self.generate_fn(job["payload"])
+                wall = time.time() - t0
                 self.store.update(task_id, status="completed", result=result)
+                self.latency.record("job_wall", wall)
+                if isinstance(result, dict):
+                    self.latency.record_time_costs(result.get("time_costs"))
+                self.progress.observe(job["payload"], wall)
             except Exception as e:  # noqa: BLE001 — job errors go to the client
+                self.latency.record("job_wall_failed", time.time() - t0)
                 self.store.update(task_id, status="failed", error=str(e))
 
     def _cleaner(self):
@@ -185,7 +244,10 @@ class ApiServer:
                 if self.path == "/v1/models":
                     return self._send(200, server.models_info)
                 if self.path == "/v1/stats":
-                    return self._send(200, server.store.counts())
+                    return self._send(200, {
+                        **server.store.counts(),
+                        "latency": server.latency.summary(),
+                    })
                 return self._send(404, {"error": "not found"})
 
             def do_POST(self):
@@ -210,6 +272,7 @@ class ApiServer:
                         "status": job["status"],
                         "result": job["result"],
                         "error": job["error"],
+                        "eta_s": job.get("eta_s"),
                     })
                 if self.path == "/create_random_sample":
                     if server.create_sample_fn is None:

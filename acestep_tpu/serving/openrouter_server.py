@@ -116,6 +116,64 @@ class OpenRouterServer:
                     return self._send(200, {"object": "list", "data": MODELS})
                 return self._send(404, {"error": {"message": "not found"}})
 
+            def _send_sse(self, obj):
+                self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+                self.wfile.flush()
+
+            def _stream_completion(self, body, parsed):
+                """SSE streaming chunks (openrouter_api_server.py:476-571):
+                role delta -> status deltas while generating -> metadata
+                content + audio delta -> finish chunk -> [DONE]."""
+                import queue as _q
+
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                cid = f"gen-{uuid.uuid4().hex}"
+                model = body.get("model", MODELS[0]["id"])
+
+                def chunk(delta, finish=None):
+                    return {
+                        "id": cid, "object": "chat.completion.chunk",
+                        "created": int(time.time()), "model": model,
+                        "choices": [{
+                            "index": 0, "delta": delta, "finish_reason": finish,
+                        }],
+                    }
+
+                result_q: "_q.Queue" = _q.Queue()
+
+                def run():
+                    try:
+                        result_q.put(("ok", server.generate_fn(parsed)))
+                    except Exception as e:  # noqa: BLE001
+                        result_q.put(("err", str(e)))
+
+                t0 = time.time()
+                threading.Thread(target=run, daemon=True).start()
+                self._send_sse(chunk({"role": "assistant"}))
+                while True:
+                    try:
+                        status, out = result_q.get(timeout=1.0)
+                        break
+                    except _q.Empty:
+                        self._send_sse(chunk(
+                            {"status": "generating",
+                             "elapsed_s": round(time.time() - t0, 1)}))
+                if status == "err":
+                    self._send_sse(chunk({"content": json.dumps({"error": out})},
+                                         finish="stop"))
+                else:
+                    audio_b64 = wav_base64(out["audio"], out["sample_rate"])
+                    self._send_sse(chunk({
+                        "content": json.dumps(out.get("metadata", {})),
+                        "audio": {"data": audio_b64, "format": "wav"},
+                    }))
+                    self._send_sse(chunk({}, finish="stop"))
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+
             def do_POST(self):
                 if self.path != "/v1/chat/completions":
                     return self._send(404, {"error": {"message": "not found"}})
@@ -123,6 +181,8 @@ class OpenRouterServer:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
                     parsed = parse_chat_messages(body.get("messages", []))
+                    if body.get("stream"):
+                        return self._stream_completion(body, parsed)
                     t0 = time.time()
                     out = server.generate_fn(parsed)
                     audio_b64 = wav_base64(out["audio"], out["sample_rate"])

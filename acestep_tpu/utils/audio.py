@@ -74,3 +74,83 @@ def peak_normalize(audio: np.ndarray, peak: float = 0.99) -> np.ndarray:
     if m > peak and m > 0:
         return audio * (peak / m)
     return audio
+
+
+# ---------------------------------------------------------------------------
+# AudioSaver: multi-format save with graceful fallback + deterministic UUIDs
+# (acestep/audio_utils.py:66-303 AudioSaver, :304-382 content hashing)
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+import os as _os
+import uuid as _uuid
+import warnings as _warnings
+
+
+def content_hash(audio: np.ndarray, sample_rate: int) -> str:
+    """Stable content hash of the PCM payload (audio_utils.py:304-340)."""
+    pcm = np.round(np.clip(np.asarray(audio, np.float64), -1.0, 1.0) * 32767.0)
+    h = _hashlib.sha256()
+    h.update(str(int(sample_rate)).encode())
+    h.update(pcm.astype("<i2").tobytes())
+    return h.hexdigest()
+
+
+def deterministic_uuid(audio: np.ndarray, sample_rate: int, *extra: str) -> str:
+    """Deterministic UUID5 from the audio content (+ optional request fields) —
+    identical generations get identical ids (audio_utils.py:330-382)."""
+    name = content_hash(audio, sample_rate) + "|" + "|".join(extra)
+    return str(_uuid.uuid5(_uuid.NAMESPACE_URL, name))
+
+
+class AudioSaver:
+    """Save audio as wav / flac / mp3 with the reference's fallback ladder.
+
+    * wav  — 16-bit PCM (always available)
+    * flac — dependency-free verbatim-FLAC encoder (utils/flac.py)
+    * mp3  — no encoder ships in this image: warns and falls back to wav
+      (the reference degrades the same way when torchaudio backends are
+      missing, audio_utils.py:200-260)
+    """
+
+    FORMATS = ("wav", "flac", "mp3")
+
+    def __init__(self, default_format: str = "wav"):
+        self.default_format = default_format
+
+    def save(
+        self, audio: np.ndarray, path: str, sample_rate: int = 48000,
+        audio_format: str = None,
+    ) -> str:
+        """Write audio; returns the actual path written (extension may change
+        on fallback)."""
+        fmt = (audio_format or self.default_format).lower().lstrip(".")
+        root, ext = _os.path.splitext(path)
+        if fmt == "flac":
+            from acestep_tpu.utils import flac as _flac
+
+            out = root + ".flac"
+            _flac.write_flac(out, audio, sample_rate)
+            return out
+        if fmt == "mp3":
+            _warnings.warn(
+                "no MP3 encoder available in this environment; saving WAV instead",
+                stacklevel=2,
+            )
+            fmt = "wav"
+        out = root + ".wav"
+        write_wav(out, audio, sample_rate)
+        return out
+
+    def save_batch(
+        self, audios, sample_rate: int = 48000, out_dir: str = ".",
+        audio_format: str = None, prefix: str = "", request_key: str = "",
+    ):
+        """Save a batch with deterministic content-derived filenames; returns
+        the list of written paths."""
+        paths = []
+        for item in audios:
+            uid = deterministic_uuid(item, sample_rate, request_key)
+            path = _os.path.join(out_dir, f"{prefix}{uid}.wav")
+            paths.append(self.save(item, path, sample_rate, audio_format))
+        return paths

@@ -1,0 +1,78 @@
+"""FLAC encoder round-trip + AudioSaver fallback + deterministic UUIDs."""
+
+import numpy as np
+import pytest
+
+from acestep_tpu.utils import audio as au
+from acestep_tpu.utils.flac import decode_flac, encode_flac
+
+
+def _tone(n=9000, ch=2, sr=48000):
+    t = np.arange(n) / sr
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    right = 0.3 * np.sin(2 * np.pi * 660 * t)
+    return np.stack([left, right], axis=1)[:, :ch].astype(np.float32)
+
+
+def test_flac_roundtrip_multi_frame():
+    x = _tone(9000)         # > 2 frames at BLOCK=4096
+    data = encode_flac(x, 48000)
+    assert data[:4] == b"fLaC"
+    y, sr = decode_flac(data)
+    assert sr == 48000
+    assert y.shape == x.shape
+    # verbatim is lossless up to the 16-bit quantization
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_flac_mono_and_exact_block():
+    x = _tone(4096, ch=1)
+    y, sr = decode_flac(encode_flac(x, 44100))
+    assert sr == 44100 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32000)
+
+
+def test_flac_streaminfo_md5_matches_payload():
+    import hashlib
+    x = _tone(1000)
+    data = encode_flac(x, 48000)
+    pcm = np.round(np.clip(x.astype(np.float64), -1, 1) * 32767).astype("<i2")
+    md5 = hashlib.md5(pcm.tobytes()).digest()
+    # STREAMINFO md5 at fixed offset: 4 magic + 4 block hdr + 18 body bytes
+    assert data[8 + 18: 8 + 34] == md5
+
+
+def test_audio_saver_formats(tmp_path):
+    x = _tone(2000)
+    saver = au.AudioSaver()
+    p_wav = saver.save(x, str(tmp_path / "a.wav"), 48000, "wav")
+    assert p_wav.endswith(".wav")
+    y, sr = au.read_wav(p_wav)
+    assert sr == 48000 and y.shape == x.shape
+
+    p_flac = saver.save(x, str(tmp_path / "b.wav"), 48000, "flac")
+    assert p_flac.endswith(".flac")
+    y2, sr2 = decode_flac(open(p_flac, "rb").read())
+    np.testing.assert_allclose(y2, x, atol=1.0 / 32000)
+
+    with pytest.warns(UserWarning):
+        p_mp3 = saver.save(x, str(tmp_path / "c.mp3"), 48000, "mp3")
+    assert p_mp3.endswith(".wav")     # graceful fallback
+
+
+def test_deterministic_uuid_stable():
+    x = _tone(512)
+    a = au.deterministic_uuid(x, 48000, "req1")
+    b = au.deterministic_uuid(x, 48000, "req1")
+    c = au.deterministic_uuid(x, 48000, "req2")
+    d = au.deterministic_uuid(x * 0.5, 48000, "req1")
+    assert a == b and a != c and a != d
+
+
+def test_save_batch_content_names(tmp_path):
+    x = _tone(512)
+    saver = au.AudioSaver()
+    paths = saver.save_batch([x, x * 0.7], 48000, str(tmp_path), "flac")
+    assert len(paths) == 2 and paths[0] != paths[1]
+    for p in paths:
+        assert p.endswith(".flac")

@@ -70,3 +70,81 @@ def test_chat_completion_roundtrip(tmp_path):
         assert models["data"][0]["id"].startswith("acestep/")
     finally:
         srv.stop()
+
+
+def test_streaming_chunks():
+    """stream:true must yield SSE chunks: role -> content+audio -> finish -> [DONE]."""
+    import json as _json
+    import urllib.request
+    import numpy as np
+    from acestep_tpu.serving.openrouter_server import OpenRouterServer
+
+    def fake_gen(parsed):
+        return {"audio": np.zeros((100, 2), np.float32), "sample_rate": 48000,
+                "metadata": {"bpm": 100}}
+
+    srv = OpenRouterServer(fake_gen)
+    port = srv.start(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/chat/completions",
+            data=_json.dumps({
+                "messages": [{"role": "user", "content": "make music"}],
+                "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith("text/event-stream")
+            raw = resp.read().decode()
+    finally:
+        srv.stop()
+    events = [ln[6:] for ln in raw.split("\n") if ln.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    chunks = [_json.loads(e) for e in events[:-1]]
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    content_chunks = [c for c in chunks
+                      if "audio" in c["choices"][0]["delta"]]
+    assert len(content_chunks) == 1
+    meta = _json.loads(content_chunks[0]["choices"][0]["delta"]["content"])
+    assert meta == {"bpm": 100}
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_stats_latency_histogram():
+    """/v1/stats exposes latency percentiles after a completed job."""
+    import json as _json
+    import time as _time
+    import urllib.request
+    from acestep_tpu.serving.api_server import ApiServer
+
+    def gen(payload):
+        return {"ok": True, "time_costs": {"diffusion_time_cost": 0.01}}
+
+    srv = ApiServer(gen)
+    port = srv.start(port=0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/release_task",
+            data=b'{"duration": 30}', headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            task_id = _json.loads(r.read())["task_id"]
+        for _ in range(100):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query_result",
+                data=_json.dumps({"task_id": task_id}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as r:
+                job = _json.loads(r.read())
+            if job["status"] == "completed":
+                break
+            _time.sleep(0.05)
+        assert job["status"] == "completed"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/v1/stats", timeout=10) as r:
+            stats = _json.loads(r.read())
+    finally:
+        srv.stop()
+    assert "latency" in stats
+    assert stats["latency"]["job_wall"]["count"] >= 1
+    assert "p90" in stats["latency"]["job_wall"]
+    assert stats["latency"]["diffusion_time_cost"]["count"] >= 1

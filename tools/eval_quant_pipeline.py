@@ -74,35 +74,41 @@ def main():
         res = engine.generate(req)
         infer_s = time.time() - t0
         wav = res.audio[0]
+        lat = res.latents[0]
         write_wav(os.path.join(args.out, f"{name}.wav"), wav, res.sample_rate)
         print(f"{name}: {infer_s:.2f}s", file=sys.stderr)
         # free the engine's stacked weight copies before the next variant
         del engine
         gc.collect()
-        return wav, infer_s
+        return wav, lat, infer_s
 
-    fp_wav, fp_s = run("fp_bf16", fp_dit, fp_text)
-    rows.append(("fp_bf16", fp_s, None))
+    fp_wav, fp_lat, fp_s = run("fp_bf16", fp_dit, fp_text)
+    rows.append(("fp_bf16", fp_s, None, None))
 
     for fmt in args.formats.split(","):
         import gc
 
         q_dit = quantize_tree_jax(fp_dit, fmt)
         q_text = quantize_tree_jax(fp_text, fmt)
-        wav, infer_s = run(fmt, q_dit, q_text)
+        wav, lat, infer_s = run(fmt, q_dit, q_text)
         del q_dit, q_text
         gc.collect()
         m = waveform_metrics(fp_wav, wav)
-        rows.append((fmt, infer_s, m))
+        # latent-level cosine isolates the DiT path from the (unquantized)
+        # VAE's waveform amplification — the meaningful random-weight gate
+        a = fp_lat.astype(np.float64).ravel()
+        b = lat.astype(np.float64).ravel()
+        lat_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        rows.append((fmt, infer_s, m, lat_cos))
 
-    lines = ["| variant | infer_s | mae | rmse | cosine | snr_db | lsd |",
-             "|---|---:|---:|---:|---:|---:|---:|"]
-    for name, infer_s, m in rows:
+    lines = ["| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |",
+             "|---|---:|---:|---:|---:|---:|---:|---:|"]
+    for name, infer_s, m, lat_cos in rows:
         if m is None:
-            lines.append(f"| {name} | {infer_s:.3f} | — | — | — | — | — |")
+            lines.append(f"| {name} | {infer_s:.3f} | — | — | — | — | — | — |")
         else:
             lines.append(
-                f"| {name} | {infer_s:.3f} | {m['mae']:.6f} | {m['rmse']:.6f} "
+                f"| {name} | {infer_s:.3f} | {lat_cos:.6f} | {m['mae']:.6f} | {m['rmse']:.6f} "
                 f"| {m['cosine']:.6f} | {m['snr_db']:.2f} | {m['lsd']:.4f} |")
     summary = "\n".join(lines)
     with open(os.path.join(args.out, "summary.md"), "w") as f:
