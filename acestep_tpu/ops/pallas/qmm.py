@@ -208,11 +208,30 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     return out[:m] if m_pad else out
 
 
+INT8_ACT_MAX_M = 16      # decode-shaped: weight streaming dominates, int8 MXU
+                         # halves the bytes/flop vs bf16 dequant
+_INT8_ACT_ENV = "ACESTEP_TPU_INT8_ACT"   # 1 (default) | 0
+
+
 def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax.Array:
-    """[..., K] @ qt [K, N] -> [..., N] bf16."""
+    """[..., K] @ qt [K, N] -> [..., N] bf16.
+
+    q8_0 weights with decode-shaped activations (flat M <= INT8_ACT_MAX_M)
+    route through the int8-activation kernel (qmm_int8_act): int8 x int8 MXU
+    accumulation with exact per-row activation scales."""
+    import os
+
     lead = x.shape[:-1]
     k = x.shape[-1]
-    y = qmm_pallas(x.reshape(-1, k), qt, interpret=interpret)
+    xf = x.reshape(-1, k)
+    if (
+        qt.fmt == "q8_0"
+        and xf.shape[0] <= INT8_ACT_MAX_M
+        and os.environ.get(_INT8_ACT_ENV, "1") != "0"
+    ):
+        y = qmm_int8_act(xf, qt, interpret=interpret)
+    else:
+        y = qmm_pallas(xf, qt, interpret=interpret)
     return y.reshape(*lead, qt.shape[1])
 
 

@@ -83,6 +83,94 @@ class JobStore:
         return {**self.stats, **{f"jobs_{k}": n for k, n in by_status.items()}}
 
 
+# canonical name -> accepted aliases (camelCase / legacy keys), checked in
+# payload, then its "param_obj" sub-object, then "metas" (the reference's
+# RequestParser surface, api_server.py:849-895)
+PARAM_ALIASES = {
+    "caption": ["caption", "prompt"],
+    "lyrics": ["lyrics", "lyric"],
+    "thinking": ["thinking", "think"],
+    "sample_query": ["sample_query", "sampleQuery", "description", "desc"],
+    "model": ["model", "model_name", "modelName", "dit_model", "ditModel"],
+    "keyscale": ["keyscale", "key_scale", "keyScale", "key"],
+    "timesignature": ["timesignature", "time_signature", "timeSignature"],
+    "duration": ["duration", "audio_duration", "audioDuration",
+                 "target_duration", "targetDuration"],
+    "language": ["language", "vocal_language", "vocalLanguage"],
+    "bpm": ["bpm"],
+    "inference_steps": ["inference_steps", "inferenceSteps", "infer_steps"],
+    "guidance_scale": ["guidance_scale", "guidanceScale"],
+    "seed": ["seed", "seeds"],
+    "use_random_seed": ["use_random_seed", "useRandomSeed"],
+    "audio_cover_strength": ["audio_cover_strength", "audioCoverStrength"],
+    "task_type": ["task_type", "taskType", "task"],
+    "infer_method": ["infer_method", "inferMethod"],
+    "batch_size": ["batch_size", "batchSize"],
+    "audio_format": ["audio_format", "audioFormat", "format"],
+    "constrained_decoding": ["constrained_decoding", "constrainedDecoding",
+                             "constrained"],
+}
+
+
+class RequestParser:
+    """Alias-aware payload reader with typed getters."""
+
+    def __init__(self, raw: Dict[str, Any]):
+        self._raw = dict(raw) if raw else {}
+        self._param_obj = self._as_dict(self._raw.get("param_obj"))
+        self._metas = {}
+        for key in ("metas", "meta", "metadata", "user_metadata", "userMetadata"):
+            v = self._raw.get(key)
+            if v:
+                self._metas = self._as_dict(v)
+                break
+
+    @staticmethod
+    def _as_dict(v) -> Dict[str, Any]:
+        if isinstance(v, dict):
+            return v
+        if isinstance(v, str) and v.strip():
+            try:
+                parsed = json.loads(v)
+                return parsed if isinstance(parsed, dict) else {}
+            except json.JSONDecodeError:
+                pass
+        return {}
+
+    def get(self, name: str, default=None):
+        for source in (self._raw, self._param_obj, self._metas):
+            for alias in PARAM_ALIASES.get(name, [name]):
+                if source.get(alias) is not None:
+                    return source[alias]
+        return default
+
+    def str(self, name: str, default: str = "") -> str:
+        v = self.get(name)
+        return str(v) if v is not None else default
+
+    def int(self, name: str, default: Optional[int] = None) -> Optional[int]:
+        v = self.get(name)
+        try:
+            return int(float(v)) if v is not None else default
+        except (TypeError, ValueError):
+            return default
+
+    def float(self, name: str, default: Optional[float] = None) -> Optional[float]:
+        v = self.get(name)
+        try:
+            return float(v) if v is not None else default
+        except (TypeError, ValueError):
+            return default
+
+    def bool(self, name: str, default: bool = False) -> bool:
+        v = self.get(name)
+        if v is None:
+            return default
+        if isinstance(v, bool):
+            return v
+        return str(v).strip().lower() in ("1", "true", "yes", "on")
+
+
 class LatencyStats:
     """Per-phase latency accumulator exposed in /v1/stats.
 
@@ -144,7 +232,11 @@ class ApiServer:
         format_input_fn: Optional[Callable[[str], Dict[str, Any]]] = None,
         models_info: Optional[Dict[str, Any]] = None,
         api_key: Optional[str] = None,
+        audio_dir: Optional[str] = None,
     ):
+        # /v1/audio downloads are restricted to this directory (path-traversal
+        # guard, api_server.py:898-930 _validate_audio_path)
+        self.audio_dir = os.path.abspath(audio_dir or os.path.join(os.getcwd(), "outputs"))
         self.generate_fn = generate_fn
         self.create_sample_fn = create_sample_fn
         self.format_input_fn = format_input_fn
@@ -220,8 +312,6 @@ class ApiServer:
 
             def do_GET(self):
                 if self.path in ("/", "/studio"):
-                    import os
-
                     page = os.path.join(
                         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "ui", "studio.html",
@@ -248,6 +338,26 @@ class ApiServer:
                         **server.store.counts(),
                         "latency": server.latency.summary(),
                     })
+                if self.path.startswith("/v1/audio"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    rel = (q.get("path") or [""])[0]
+                    full = os.path.abspath(os.path.join(server.audio_dir, rel))
+                    if not full.startswith(server.audio_dir + os.sep):
+                        return self._send(403, {"error": "forbidden path"})
+                    if not os.path.isfile(full):
+                        return self._send(404, {"error": "no such audio"})
+                    ctype = ("audio/flac" if full.endswith(".flac")
+                             else "audio/wav")
+                    with open(full, "rb") as f:
+                        data = f.read()
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return None
                 return self._send(404, {"error": "not found"})
 
             def do_POST(self):

@@ -116,3 +116,54 @@ def test_api_key_auth():
         assert _get(port, "/health")[0] == 200  # health stays open
     finally:
         srv.stop()
+
+
+def test_request_parser_aliases():
+    from acestep_tpu.serving.api_server import RequestParser
+
+    p = RequestParser({
+        "prompt": "jazzy piano",
+        "audioDuration": "45",
+        "param_obj": {"keyScale": "C major"},
+        "metas": '{"bpm": 120, "timeSignature": "4"}',
+        "useRandomSeed": "false",
+    })
+    assert p.str("caption") == "jazzy piano"
+    assert p.float("duration") == 45.0
+    assert p.str("keyscale") == "C major"
+    assert p.int("bpm") == 120
+    assert p.str("timesignature") == "4"
+    assert p.bool("use_random_seed", True) is False
+    assert p.get("nonexistent", "dflt") == "dflt"
+    # precedence: raw payload wins over param_obj/metas
+    p2 = RequestParser({"bpm": 90, "metas": '{"bpm": 120}'})
+    assert p2.int("bpm") == 90
+
+
+def test_v1_audio_download_and_traversal_guard(tmp_path):
+    import json as _json
+    import urllib.request
+    import urllib.error
+    import numpy as np
+    from acestep_tpu.serving.api_server import ApiServer
+    from acestep_tpu.utils.audio import write_wav
+
+    wav = np.zeros((100, 2), np.float32)
+    write_wav(str(tmp_path / "x.wav"), wav, 48000)
+    srv = ApiServer(lambda p: {"ok": True}, audio_dir=str(tmp_path))
+    port = srv.start(port=0)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/audio?path=x.wav", timeout=10) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert len(r.read()) > 44
+        # traversal blocked
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/audio?path=../../etc/passwd", timeout=10)
+            blocked = False
+        except urllib.error.HTTPError as e:
+            blocked = e.code == 403
+        assert blocked
+    finally:
+        srv.stop()

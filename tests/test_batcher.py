@@ -124,3 +124,44 @@ class TestBatcher:
                 f.result(timeout=5)
         finally:
             batcher.stop()
+
+
+def test_engine_backed_mixed_duration_batch():
+    """configs[3] precursor: two different durations sharing one frame bucket
+    merge into one ENGINE batch and come back with per-item valid lengths."""
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.serving.batcher import ContinuousBatcher
+    from tests.test_pipeline import TINY_DIT, TINY_VAE, TINY_TEXT
+    import acestep_tpu.models.dit as dit_mod
+    import acestep_tpu.models.vae as vae_mod
+    import acestep_tpu.models.qwen as qwen_mod
+    from acestep_tpu.pipeline import AceStepEngine, GenerationRequest
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    engine = AceStepEngine(
+        dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+        vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+        qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+    )
+    batcher = ContinuousBatcher(engine.generate, max_batch=4, max_wait_s=0.5)
+    batcher.start()
+    try:
+        rng = np.random.default_rng(0)
+        style = rng.integers(0, 256, (1, 6))
+        # 10.0s and 10.1s share the 256-frame bucket -> mergeable
+        f1 = batcher.submit(GenerationRequest(
+            duration_s=10.0, style_token_ids=style, seeds=[1]))
+        f2 = batcher.submit(GenerationRequest(
+            duration_s=10.1, style_token_ids=style, seeds=[2]))
+        r1 = f1.result(timeout=300)
+        r2 = f2.result(timeout=300)
+    finally:
+        batcher.stop()
+    assert batcher.stats["batches"] >= 1
+    assert max(batcher.stats["merged_sizes"]) == 2        # actually merged
+    hop = TINY_VAE.hop_length
+    assert r1.audio_lengths[0] == int(round(10.0 * 25)) * hop
+    assert r2.audio_lengths[0] == int(round(10.1 * 25)) * hop
+    assert np.isfinite(r1.audio).all() and np.isfinite(r2.audio).all()
