@@ -1,0 +1,240 @@
+"""Converter CI test on a reference-layout checkpoint stub.
+
+Synthesizes safetensors files with the EXACT tensor names the reference C++
+loaders read (acestep_ggml/cpp/acestep_dit_model.cpp:749-1060 name list,
+qwen_model.cpp HF names, vae weight-norm v/g pairs per vae_model.cpp:520-589),
+runs tools/convert_checkpoint.py end-to-end, loads the converted params, and
+generates through the engine.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+from acestep_tpu.utils.safetensors_io import save_safetensors
+
+DIT_CFG = dict(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+    in_channels=24, audio_acoustic_hidden_dim=8, patch_size=2,
+    sliding_window=4, text_hidden_dim=32,
+    num_lyric_encoder_hidden_layers=1, num_timbre_encoder_hidden_layers=1,
+    timbre_hidden_dim=8,
+)
+VAE_CFG = dict(
+    audio_channels=2, encoder_hidden_size=16, decoder_channels=8,
+    decoder_input_channels=8, downsampling_ratios=[2, 4, 4],
+    channel_multiples=[1, 2, 4],
+)
+TEXT_CFG = dict(
+    vocab_size=256, hidden_size=32, num_hidden_layers=2,
+    num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
+    head_dim=16,
+)
+
+
+def _rng_t(rng, *shape):
+    return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+
+def _attn_tensors(rng, p, q_in, kv_in, nh, nkv, hd):
+    return {
+        p + "q_proj.weight": _rng_t(rng, nh * hd, q_in),
+        p + "k_proj.weight": _rng_t(rng, nkv * hd, kv_in),
+        p + "v_proj.weight": _rng_t(rng, nkv * hd, kv_in),
+        p + "o_proj.weight": _rng_t(rng, q_in, nh * hd),
+        p + "q_norm.weight": np.ones(hd, np.float32),
+        p + "k_norm.weight": np.ones(hd, np.float32),
+    }
+
+
+def _mlp_tensors(rng, p, h, inter):
+    return {
+        p + "gate_proj.weight": _rng_t(rng, inter, h),
+        p + "up_proj.weight": _rng_t(rng, inter, h),
+        p + "down_proj.weight": _rng_t(rng, h, inter),
+    }
+
+
+def _enc_layer(rng, p, h, nh, nkv, hd, inter):
+    t = {
+        p + "input_layernorm.weight": np.ones(h, np.float32),
+        p + "post_attention_layernorm.weight": np.ones(h, np.float32),
+    }
+    t.update(_attn_tensors(rng, p + "self_attn.", h, h, nh, nkv, hd))
+    t.update(_mlp_tensors(rng, p + "mlp.", h, inter))
+    return t
+
+
+def make_dit_checkpoint(rng, d):
+    c = DIT_CFG
+    h, hd = c["hidden_size"], c["head_dim"]
+    nh, nkv = c["num_attention_heads"], c["num_key_value_heads"]
+    inter, patch = c["intermediate_size"], c["patch_size"]
+    t = {
+        # conv1d patchify [H, C_in, patch] / convT unpatchify [H, A, patch]
+        "decoder.proj_in.1.weight": _rng_t(rng, h, c["in_channels"], patch),
+        "decoder.proj_in.1.bias": np.zeros(h, np.float32),
+        "decoder.proj_out.1.weight": _rng_t(rng, h, c["audio_acoustic_hidden_dim"], patch),
+        "decoder.proj_out.1.bias": np.zeros(c["audio_acoustic_hidden_dim"], np.float32),
+        "decoder.condition_embedder.weight": _rng_t(rng, h, h),
+        "decoder.condition_embedder.bias": np.zeros(h, np.float32),
+        "decoder.norm_out.weight": np.ones(h, np.float32),
+        "decoder.scale_shift_table": _rng_t(rng, 1, 2, h),
+        "encoder.text_projector.weight": _rng_t(rng, h, c["text_hidden_dim"]),
+        "encoder.lyric_encoder.embed_tokens.weight": _rng_t(rng, h, c["text_hidden_dim"]),
+        "encoder.lyric_encoder.embed_tokens.bias": np.zeros(h, np.float32),
+        "encoder.lyric_encoder.norm.weight": np.ones(h, np.float32),
+        "encoder.timbre_encoder.embed_tokens.weight": _rng_t(rng, h, c["timbre_hidden_dim"]),
+        "encoder.timbre_encoder.embed_tokens.bias": np.zeros(h, np.float32),
+        "encoder.timbre_encoder.norm.weight": np.ones(h, np.float32),
+        "encoder.timbre_encoder.special_token": _rng_t(rng, 1, 1, h),
+    }
+    for te in ("decoder.time_embed.", "decoder.time_embed_r."):
+        t[te + "linear_1.weight"] = _rng_t(rng, h, 256)
+        t[te + "linear_1.bias"] = np.zeros(h, np.float32)
+        t[te + "linear_2.weight"] = _rng_t(rng, h, h)
+        t[te + "linear_2.bias"] = np.zeros(h, np.float32)
+        t[te + "time_proj.weight"] = _rng_t(rng, h * 6, h)
+        t[te + "time_proj.bias"] = np.zeros(h * 6, np.float32)
+    for i in range(c["num_hidden_layers"]):
+        p = f"decoder.layers.{i}."
+        t[p + "self_attn_norm.weight"] = np.ones(h, np.float32)
+        t[p + "cross_attn_norm.weight"] = np.ones(h, np.float32)
+        t[p + "mlp_norm.weight"] = np.ones(h, np.float32)
+        t[p + "scale_shift_table"] = _rng_t(rng, 1, 6, h)
+        t.update(_attn_tensors(rng, p + "self_attn.", h, h, nh, nkv, hd))
+        t.update(_attn_tensors(rng, p + "cross_attn.", h, h, nh, nkv, hd))
+        t.update(_mlp_tensors(rng, p + "mlp.", h, inter))
+    t.update(_enc_layer(rng, "encoder.lyric_encoder.layers.0.", h, nh, nkv, hd, inter))
+    t.update(_enc_layer(rng, "encoder.timbre_encoder.layers.0.", h, nh, nkv, hd, inter))
+    os.makedirs(d, exist_ok=True)
+    save_safetensors(os.path.join(d, "model.safetensors"), t)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(DIT_CFG, f)
+
+
+def _wn_conv(rng, t, prefix, cout, cin, k):
+    t[prefix + ".weight_v"] = _rng_t(rng, cout, cin, k)
+    t[prefix + ".weight_g"] = np.abs(_rng_t(rng, cout, 1, 1)) + 0.5
+    t[prefix + ".bias"] = np.zeros(cout, np.float32)
+
+
+def _res_unit(rng, t, prefix, dim):
+    t[prefix + ".snake1.alpha"] = np.ones((1, dim, 1), np.float32)
+    t[prefix + ".snake1.beta"] = np.ones((1, dim, 1), np.float32)
+    _wn_conv(rng, t, prefix + ".conv1", dim, dim, 7)
+    t[prefix + ".snake2.alpha"] = np.ones((1, dim, 1), np.float32)
+    t[prefix + ".snake2.beta"] = np.ones((1, dim, 1), np.float32)
+    _wn_conv(rng, t, prefix + ".conv2", dim, dim, 1)
+
+
+def make_vae_checkpoint(rng, d):
+    c = VAE_CFG
+    eh, ch = c["encoder_hidden_size"], c["decoder_channels"]
+    cm = [1] + list(c["channel_multiples"])
+    t = {}
+    _wn_conv(rng, t, "encoder.conv1", eh, c["audio_channels"], 7)
+    for i, s in enumerate(c["downsampling_ratios"]):
+        cin, cout = eh * cm[i], eh * cm[i + 1]
+        p = f"encoder.block.{i}"
+        for r in ("res_unit1", "res_unit2", "res_unit3"):
+            _res_unit(rng, t, f"{p}.{r}", cin)
+        t[p + ".snake1.alpha"] = np.ones((1, cin, 1), np.float32)
+        t[p + ".snake1.beta"] = np.ones((1, cin, 1), np.float32)
+        _wn_conv(rng, t, p + ".conv1", cout, cin, 2 * s)
+    top = eh * cm[-1]
+    t["encoder.snake1.alpha"] = np.ones((1, top, 1), np.float32)
+    t["encoder.snake1.beta"] = np.ones((1, top, 1), np.float32)
+    _wn_conv(rng, t, "encoder.conv2", eh, top, 3)
+
+    strides = list(reversed(c["downsampling_ratios"]))
+    dtop = ch * cm[-1]
+    _wn_conv(rng, t, "decoder.conv1", dtop, c["decoder_input_channels"], 7)
+    for i, s in enumerate(strides):
+        cin = ch * cm[len(strides) - i]
+        cout = ch * cm[len(strides) - i - 1]
+        p = f"decoder.block.{i}"
+        t[p + ".snake1.alpha"] = np.ones((1, cin, 1), np.float32)
+        t[p + ".snake1.beta"] = np.ones((1, cin, 1), np.float32)
+        # convtranspose1d torch layout [in, out, k]
+        t[p + ".conv_t1.weight_v"] = _rng_t(rng, cin, cout, 2 * s)
+        t[p + ".conv_t1.weight_g"] = np.abs(_rng_t(rng, cin, 1, 1)) + 0.5
+        t[p + ".conv_t1.bias"] = np.zeros(cout, np.float32)
+        for r in ("res_unit1", "res_unit2", "res_unit3"):
+            _res_unit(rng, t, f"{p}.{r}", cout)
+    t["decoder.snake1.alpha"] = np.ones((1, ch, 1), np.float32)
+    t["decoder.snake1.beta"] = np.ones((1, ch, 1), np.float32)
+    t["decoder.conv2.weight_v"] = _rng_t(rng, c["audio_channels"], ch, 7)
+    t["decoder.conv2.weight_g"] = np.abs(_rng_t(rng, c["audio_channels"], 1, 1)) + 0.5
+    os.makedirs(d, exist_ok=True)
+    save_safetensors(os.path.join(d, "model.safetensors"), t)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(VAE_CFG, f)
+
+
+def make_qwen_checkpoint(rng, d):
+    c = TEXT_CFG
+    h, hd = c["hidden_size"], c["head_dim"]
+    nh, nkv, inter = (c["num_attention_heads"], c["num_key_value_heads"],
+                      c["intermediate_size"])
+    t = {"model.embed_tokens.weight": _rng_t(rng, c["vocab_size"], h),
+         "model.norm.weight": np.ones(h, np.float32)}
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = np.ones(h, np.float32)
+        t[p + "post_attention_layernorm.weight"] = np.ones(h, np.float32)
+        t.update(_attn_tensors(rng, p + "self_attn.", h, h, nh, nkv, hd))
+        t.update(_mlp_tensors(rng, p + "mlp.", h, inter))
+    os.makedirs(d, exist_ok=True)
+    save_safetensors(os.path.join(d, "model.safetensors"), t)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump(TEXT_CFG, f)
+
+
+def test_converter_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    dit_dir, vae_dir, text_dir = (str(tmp_path / n) for n in ("dit", "vae", "text"))
+    out_dir = str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+    make_vae_checkpoint(rng, vae_dir)
+    make_qwen_checkpoint(rng, text_dir)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_checkpoint.py"),
+         "--dit", dit_dir, "--vae", vae_dir, "--text", text_dir,
+         "--out", out_dir, "--quant", "q8_0"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(open(os.path.join(out_dir, "manifest.json")).read())
+    assert set(manifest["components"]) == {"dit", "vae", "text_encoder"}
+
+    # load the converted params and run the engine end-to-end
+    from acestep_tpu import loader
+    from acestep_tpu.pipeline import AceStepEngine, GenerationRequest
+
+    dit_p = loader.load_params(os.path.join(out_dir, "dit"))
+    vae_p = loader.load_params(os.path.join(out_dir, "vae"))
+    text_p = loader.load_params(os.path.join(out_dir, "text_encoder"))
+    engine = AceStepEngine(
+        dit_p, DiTConfig.from_dict(DIT_CFG),
+        vae_p, VAEConfig.from_dict(VAE_CFG),
+        text_p, QwenConfig.from_dict(TEXT_CFG),
+    )
+    res = engine.generate(GenerationRequest(
+        duration_s=10.0,
+        style_token_ids=rng.integers(0, 256, (1, 6)),
+        lyric_token_ids=rng.integers(0, 256, (1, 9)),
+        refer_latents=rng.standard_normal((1, 1, 20, 8)).astype(np.float32),
+        seeds=[0],
+    ))
+    assert np.isfinite(res.audio).all()
+    assert res.audio.shape[1] == 250 * 32      # 10s at 25Hz-equivalent tiny hop
