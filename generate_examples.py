@@ -68,19 +68,49 @@ def make_example(i: int, rng: random.Random) -> dict:
     }
 
 
+SIMPLE_QUERIES = [
+    "a song for driving at night through the city",
+    "something to study to, no vocals",
+    "an anthem for the last day of summer",
+    "music for a rainy sunday morning",
+    "a fierce workout track that builds",
+    "wedding first-dance song, timeless feel",
+    "a lullaby with a music-box quality",
+    "road-trip singalong with big harmonies",
+]
+
+
+def make_simple_example(i: int, rng: random.Random) -> dict:
+    """simple_mode fixture: free-text query only (reference examples/simple_mode)."""
+    genre, _, _, lang = GENRES[i % len(GENRES)]
+    q = rng.choice(SIMPLE_QUERIES)
+    return {
+        "description": f"{q}, leaning {genre}",
+        "language": lang,
+        "think": True,
+        "seed": i,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="examples/text2music")
-    ap.add_argument("--count", type=int, default=24)
+    ap.add_argument("--simple-out", default="examples/simple_mode")
+    ap.add_argument("--count", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     rng = random.Random(args.seed)
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.count):
         ex = make_example(i, rng)
-        with open(os.path.join(args.out, f"example_{i:02d}.json"), "w") as f:
+        with open(os.path.join(args.out, f"example_{i:03d}.json"), "w") as f:
             json.dump(ex, f, indent=2, ensure_ascii=False)
-    print(f"wrote {args.count} fixtures to {args.out}")
+    os.makedirs(args.simple_out, exist_ok=True)
+    for i in range(args.count):
+        ex = make_simple_example(i, rng)
+        with open(os.path.join(args.simple_out, f"example_{i:03d}.json"), "w") as f:
+            json.dump(ex, f, indent=2, ensure_ascii=False)
+    print(f"wrote {args.count} fixtures to {args.out} and {args.simple_out}")
 
 
 if __name__ == "__main__":

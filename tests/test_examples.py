@@ -23,3 +23,19 @@ def test_fixtures_parse():
         )
         assert 10 <= params.duration <= 600
         assert 30 <= params.bpm <= 300
+
+
+def test_simple_mode_fixtures():
+    paths = sorted(glob.glob("examples/simple_mode/example_*.json"))
+    assert len(paths) >= 100
+    for p in paths[:50]:
+        with open(p) as f:
+            ex = json.load(f)
+        assert ex.get("description")
+        assert "language" in ex and "seed" in ex
+
+
+def test_fixture_count_matches_reference_scale():
+    # reference ships 200 + 200 fixtures (examples/text2music, simple_mode)
+    assert len(glob.glob("examples/text2music/example_*.json")) == 200
+    assert len(glob.glob("examples/simple_mode/example_*.json")) == 200
