@@ -41,6 +41,12 @@ class _Pending:
     req: GenerationRequest
     future: Future
     arrived: float
+    priority: int = 0        # higher runs first (nano-vllm preemption analog:
+                             # queued lower-priority work yields; aging via
+                             # AGING_S prevents starvation)
+
+
+AGING_S = 5.0                # queued priority rises one level per AGING_S
 
 
 def _shape_key(req: GenerationRequest) -> Tuple:
@@ -180,23 +186,33 @@ class ContinuousBatcher:
             self._lock.notify_all()
         self._thread.join(timeout=5)
 
-    def submit(self, req: GenerationRequest) -> Future:
+    def submit(self, req: GenerationRequest, priority: int = 0) -> Future:
         fut: Future = Future()
-        p = _Pending(uuid.uuid4().hex, req, fut, time.time())
+        p = _Pending(uuid.uuid4().hex, req, fut, time.time(), priority)
         with self._lock:
             self._queues.setdefault(_shape_key(req), []).append(p)
             self.stats["requests"] += 1
             self._lock.notify_all()
         return fut
 
+    @staticmethod
+    def _effective_priority(p: _Pending, now: float) -> float:
+        return p.priority + (now - p.arrived) / AGING_S
+
     def _pick_batch(self) -> Optional[List[_Pending]]:
         now = time.time()
         best = None
-        for key, q in self._queues.items():
-            if not q:
-                continue
+        # highest effective priority (priority + age credit) schedules first;
+        # a newly-arrived high-priority request therefore "preempts" any
+        # queued lower-priority shape group
+        ordered = sorted(
+            (kq for kq in self._queues.items() if kq[1]),
+            key=lambda kq: -max(self._effective_priority(p, now) for p in kq[1]),
+        )
+        for key, q in ordered:
+            q.sort(key=lambda p: (-self._effective_priority(p, now), p.arrived))
             total = sum(p.req.batch_size for p in q)
-            age = now - q[0].arrived
+            age = now - min(p.arrived for p in q)
             if total >= self.max_batch or age >= self.max_wait_s:
                 take, n = [], 0
                 while q and n + q[0].req.batch_size <= self.max_batch:

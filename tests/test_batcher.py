@@ -165,3 +165,41 @@ def test_engine_backed_mixed_duration_batch():
     assert r1.audio_lengths[0] == int(round(10.0 * 25)) * hop
     assert r2.audio_lengths[0] == int(round(10.1 * 25)) * hop
     assert np.isfinite(r1.audio).all() and np.isfinite(r2.audio).all()
+
+
+def test_priority_preempts_queued_work():
+    """A high-priority request scheduled after low-priority ones runs first."""
+    import threading
+    import time as _time
+    from acestep_tpu.serving.batcher import ContinuousBatcher
+    from acestep_tpu.pipeline import GenerationRequest, GenerationResult
+
+    order = []
+    gate = threading.Event()
+
+    def run_fn(req):
+        if not gate.is_set():          # block the first batch until all queued
+            gate.wait(timeout=5)
+        order.append(req.duration_s)
+        b = req.batch_size
+        return GenerationResult(
+            audio=np.zeros((b, 10, 2), np.float32),
+            latents=np.zeros((b, 4, 8), np.float32),
+            sample_rate=48000, time_costs={}, seeds=[0] * b,
+            audio_lengths=[10] * b)
+
+    batcher = ContinuousBatcher(run_fn, max_batch=1, max_wait_s=0.05)
+    batcher.start()
+    try:
+        f1 = batcher.submit(GenerationRequest(duration_s=11.0))   # runs first (blocks)
+        _time.sleep(0.15)
+        f2 = batcher.submit(GenerationRequest(duration_s=12.0), priority=0)
+        f3 = batcher.submit(GenerationRequest(duration_s=13.0), priority=5)
+        _time.sleep(0.1)
+        gate.set()
+        for f in (f1, f2, f3):
+            f.result(timeout=10)
+    finally:
+        batcher.stop()
+    # 13s (high priority) must run before 12s despite arriving later
+    assert order.index(13.0) < order.index(12.0)

@@ -172,3 +172,18 @@ def test_explicit_tp_with_quantized_params():
     fwd = make_tp_dit_forward(cfg, mesh, params)
     out = np.asarray(fwd(params, hs, t, enc, ctx))
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_distributed_single_process_fallback():
+    """distributed.initialize is a no-op fallback off-pod; global_mesh builds
+    a valid (dp, tp) mesh whose tp axis never crosses a host."""
+    from acestep_tpu.parallel import distributed
+
+    assert distributed.initialize() is False      # no coordinator configured
+    n_proc, local, global_n = distributed.topology()
+    assert n_proc == 1 and local == global_n == 8
+    mesh = distributed.global_mesh()
+    dp, tp = mesh.devices.shape
+    assert dp * tp == 8
+    assert local % tp == 0                        # tp rides "ICI"
+    assert distributed.is_primary()
