@@ -141,6 +141,7 @@ class Trainer:
         batches: Iterator[Dict[str, Any]],
         max_steps: Optional[int] = None,
         log_fn: Callable[[str], None] = print,
+        metrics: Optional["MetricsLogger"] = None,
     ) -> Dict[str, Any]:
         max_steps = max_steps or self.tc.total_steps
         t0 = time.perf_counter()
@@ -154,9 +155,46 @@ class Trainer:
             self.step += 1
             loss_f = float(loss)
             self.history.append(loss_f)
+            if metrics is not None:
+                metrics.scalar("train/loss", loss_f, self.step)
             if self.step % self.tc.log_every == 0:
                 log_fn(f"step {self.step}: loss {loss_f:.5f} "
                        f"({self.step / (time.perf_counter() - t0):.2f} it/s)")
+                if metrics is not None:
+                    metrics.scalar(
+                        "train/it_per_s",
+                        self.step / (time.perf_counter() - t0), self.step)
             if self.tc.checkpoint_every and self.step % self.tc.checkpoint_every == 0:
                 self.save_checkpoint()
+        if metrics is not None:
+            metrics.flush()
         return {"steps": self.step, "final_loss": self.history[-1] if self.history else None}
+
+
+class MetricsLogger:
+    """Structured JSONL scalar log (the environment has no TensorBoard; the
+    reference logs to TB, trainer.py:23-24 — this writes one event per line:
+    {"step", "tag", "value", "wall"} consumable by any plotting tool)."""
+
+    def __init__(self, path: str):
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(_os.path.abspath(path)) or ".", exist_ok=True)
+        self.path = path
+        self._buf: list = []
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        self._buf.append({"step": int(step), "tag": tag,
+                          "value": float(value), "wall": time.time()})
+        if len(self._buf) >= 64:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        import json as _json
+
+        with open(self.path, "a") as f:
+            for ev in self._buf:
+                f.write(_json.dumps(ev) + "\n")
+        self._buf.clear()

@@ -114,3 +114,18 @@ def test_dataset_build_and_stream(tmp_path):
     assert batch["latents"].shape[0] == 2
     assert batch["latents"].shape[2] == 8
     assert batch["encoder_hidden_states"].shape[2] == dit_cfg.hidden_size
+
+
+def test_metrics_logger(tmp_path):
+    import json as _json
+    from acestep_tpu.training.trainer import MetricsLogger
+
+    path = str(tmp_path / "events.jsonl")
+    m = MetricsLogger(path)
+    for i in range(5):
+        m.scalar("train/loss", 1.0 / (i + 1), i)
+    m.flush()
+    events = [_json.loads(l) for l in open(path)]
+    assert len(events) == 5
+    assert events[0]["tag"] == "train/loss" and events[4]["step"] == 4
+    assert events[2]["value"] == pytest.approx(1 / 3)
