@@ -67,9 +67,43 @@ class TokenTrie:
         return text in self.values
 
 
+def load_genres_vocab(path: Optional[str] = None) -> list:
+    """Load the genres vocabulary from a file (one genre per line, ``#``
+    comments — the reference's genres_vocab.txt format with mtime-based hot
+    reload, constrained_logits_processor.py:953-1000).  Falls back to
+    DEFAULT_GENRES when the file is absent.
+
+    Default path: $ACESTEP_TPU_GENRES_FILE, else genres_vocab.txt next to
+    this module."""
+    import os
+
+    path = path or os.environ.get("ACESTEP_TPU_GENRES_FILE") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "genres_vocab.txt"
+    )
+    key = None
+    try:
+        key = (path, os.path.getmtime(path))
+        cached = _GENRES_CACHE.get(path)
+        if cached and cached[0] == key[1]:
+            return cached[1]
+        with open(path, encoding="utf-8") as f:
+            vocab = [ln.strip() for ln in f
+                     if ln.strip() and not ln.lstrip().startswith("#")]
+        if vocab:
+            _GENRES_CACHE[path] = (key[1], vocab)
+            return vocab
+    except OSError:
+        pass
+    return list(DEFAULT_GENRES)
+
+
+_GENRES_CACHE: dict = {}
+
+
 @dataclasses.dataclass
 class FSMConfig:
-    genres_vocab: Sequence[str] = tuple(DEFAULT_GENRES)
+    genres_vocab: Sequence[str] = dataclasses.field(
+        default_factory=load_genres_vocab)
     max_caption_chars: int = 300
     fields: Sequence[str] = FIELD_ORDER
 

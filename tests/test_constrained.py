@@ -92,3 +92,28 @@ def test_multi_char_tokens_cross_boundaries():
     assert not fsm.allowed_piece("\n")      # 12 < bpm lower bound 30
     fsm.step("0")                           # 120
     assert fsm.allowed_piece("\n")
+
+
+def test_genres_vocab_file_loading(tmp_path, monkeypatch):
+    from acestep_tpu.constrained import DEFAULT_GENRES, FSMConfig, load_genres_vocab
+
+    # absent file -> defaults
+    monkeypatch.setenv("ACESTEP_TPU_GENRES_FILE", str(tmp_path / "nope.txt"))
+    assert load_genres_vocab() == list(DEFAULT_GENRES)
+
+    # file with comments and blanks
+    p = tmp_path / "genres.txt"
+    p.write_text("# comment\nsynthwave\n\nneo-soul\n  vaporwave  \n")
+    monkeypatch.setenv("ACESTEP_TPU_GENRES_FILE", str(p))
+    assert load_genres_vocab() == ["synthwave", "neo-soul", "vaporwave"]
+
+    # hot reload on mtime change
+    import os, time
+    time.sleep(0.01)
+    p.write_text("bebop\n")
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    assert load_genres_vocab() == ["bebop"]
+
+    # FSMConfig default pulls from the file
+    cfg = FSMConfig()
+    assert cfg.genres_vocab == ["bebop"]
