@@ -27,6 +27,16 @@ SAFETY_MARGIN = 1.5 * GiB       # compiler scratch + fragmentation headroom
 
 
 def detect_hbm_bytes() -> int:
+    """Per-chip HBM; ACESTEP_TPU_MAX_HBM_GB overrides for tier simulation
+    (the reference's MAX_CUDA_VRAM fault-injection knob, gpu_config.py:286-300)."""
+    import os
+
+    cap = os.environ.get("ACESTEP_TPU_MAX_HBM_GB")
+    if cap:
+        try:
+            return int(float(cap) * GiB)
+        except ValueError:
+            pass
     try:
         import jax
 

@@ -96,3 +96,16 @@ def test_engine_clamps_batch(monkeypatch):
         except RuntimeError:
             pass
     assert any("planner clamped" in str(x.message) for x in w)
+
+
+def test_hbm_cap_simulation(monkeypatch):
+    """ACESTEP_TPU_MAX_HBM_GB simulates small-chip tiers (MAX_CUDA_VRAM analog)."""
+    from acestep_tpu.memory_planner import detect_hbm_bytes, plan_request
+
+    monkeypatch.setenv("ACESTEP_TPU_MAX_HBM_GB", "8")
+    assert detect_hbm_bytes() == 8 * GiB
+    cfg, vae = DiTConfig(), VAEConfig()
+    plan = plan_request(cfg, vae, 2 * GiB, batch=8, frames=15000)   # auto-detect
+    assert plan.max_batch < 8
+    monkeypatch.setenv("ACESTEP_TPU_MAX_HBM_GB", "95")
+    assert detect_hbm_bytes() == 95 * GiB
