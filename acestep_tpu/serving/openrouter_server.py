@@ -25,8 +25,46 @@ META_LINE = re.compile(r"^(bpm|duration|keyscale|timesignature|language|genres)\
 SECTION = re.compile(r"^\[(verse|chorus|bridge|intro|outro|inst|hook|pre-chorus)[^\]]*\]",
                      re.IGNORECASE)
 
+# model catalogue with capabilities + pricing (the reference's ModelInfo
+# surface, openrouter_api_server.py:599-620; prices are env-overridable)
+import os as _os
+
 MODELS = [
-    {"id": "acestep/v15-turbo-tpu", "object": "model", "pricing": {"audio": "0"}},
+    {
+        "id": "acestep/v15-turbo-tpu",
+        "object": "model",
+        "name": "ACE-Step 1.5 Turbo (TPU)",
+        "created": 1755000000,
+        "description": ("Text-to-music generation (8-step turbo diffusion). "
+                        "Styles, lyrics, 10-600s durations; TPU-native "
+                        "quantized serving."),
+        "input_modalities": ["text", "audio"],
+        "output_modalities": ["audio", "text"],
+        "context_length": 4096,
+        "pricing": {
+            "prompt": _os.environ.get("ACESTEP_TPU_PRICE_PROMPT", "0"),
+            "completion": _os.environ.get("ACESTEP_TPU_PRICE_COMPLETION", "0"),
+            "request": _os.environ.get("ACESTEP_TPU_PRICE_REQUEST", "0"),
+        },
+        "supported_sampling_parameters": ["temperature", "top_p"],
+    },
+    {
+        "id": "acestep/v15-base-tpu",
+        "object": "model",
+        "name": "ACE-Step 1.5 Base (TPU)",
+        "created": 1755000000,
+        "description": ("Base (non-turbo) diffusion with CFG guidance; "
+                        "extract/lego/complete tasks."),
+        "input_modalities": ["text", "audio"],
+        "output_modalities": ["audio", "text"],
+        "context_length": 4096,
+        "pricing": {
+            "prompt": _os.environ.get("ACESTEP_TPU_PRICE_PROMPT", "0"),
+            "completion": _os.environ.get("ACESTEP_TPU_PRICE_COMPLETION", "0"),
+            "request": _os.environ.get("ACESTEP_TPU_PRICE_REQUEST", "0"),
+        },
+        "supported_sampling_parameters": ["temperature", "top_p"],
+    },
 ]
 
 
