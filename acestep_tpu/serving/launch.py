@@ -60,38 +60,65 @@ def make_generate_fn(engine, tokenizer=None):
         return np.asarray([ids], np.int32)
 
     def generate(payload: Dict[str, Any]) -> Dict[str, Any]:
-        import tempfile
+        from acestep_tpu.serving.api_server import RequestParser
+        from acestep_tpu.utils.flac import encode_flac
 
-        caption = payload.get("caption", "") or payload.get("prompt", "")
-        lyrics = payload.get("lyrics", "")
+        p = RequestParser(payload)
+        caption = p.str("caption")
+        lyrics = p.str("lyrics")
+        lyric_ids = tokenize(lyrics, 2048)
         req = GenerationRequest(
-            duration_s=float(payload.get("duration", 30) or 30),
+            duration_s=p.float("duration", 30.0),
             style_token_ids=tokenize(caption, 256),
-            lyric_token_ids=tokenize(lyrics, 2048),
-            task=payload.get("task_type", "text2music"),
-            seeds=[int(payload.get("seed", 0) or 0)],
-            shift=float(payload.get("shift", 3.0) or 3.0),
-            infer_method=payload.get("infer_method", "ode"),
-            batch_size=int(payload.get("batch_size", 1) or 1),
+            lyric_token_ids=lyric_ids,
+            task=p.str("task_type", "text2music"),
+            seeds=[p.int("seed", 0)],
+            shift=p.float("shift", 3.0) if payload.get("shift") else 3.0,
+            infer_method=p.str("infer_method", "ode"),
+            batch_size=p.int("batch_size", 1),
+            audio_cover_strength=p.float("audio_cover_strength", 1.0),
+            guidance_scale=p.float("guidance_scale", 1.0),
+            infer_steps=p.int("inference_steps", 8),
+            use_adg=p.bool("use_adg"),
         )
         res = engine.generate(req)
         audio = peak_normalize(res.audio[0])
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            path = f.name
-        try:
-            write_wav(path, audio, res.sample_rate)
-            with open(path, "rb") as f:
-                audio_b64 = base64.b64encode(f.read()).decode()
-        finally:
-            os.unlink(path)
-        return {
+        fmt = p.str("audio_format", "wav").lower()
+        if fmt == "flac":
+            audio_b64 = base64.b64encode(encode_flac(audio, res.sample_rate)).decode()
+        else:
+            import tempfile
+
+            fmt = "wav"
+            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+                path = f.name
+            try:
+                write_wav(path, audio, res.sample_rate)
+                with open(path, "rb") as f:
+                    audio_b64 = base64.b64encode(f.read()).decode()
+            finally:
+                os.unlink(path)
+        out = {
             "audio_base64": audio_b64,
+            "audio_format": fmt,
             "sample_rate": res.sample_rate,
-            "metadata": {k: payload.get(k) for k in
-                         ("caption", "bpm", "duration", "keyscale") if payload.get(k)},
+            "metadata": {k: p.get(k) for k in
+                         ("caption", "bpm", "duration", "keyscale") if p.get(k)},
             "time_costs": {k: round(v, 3) for k, v in res.time_costs.items()},
             "seeds": res.seeds,
         }
+        # optional lyric alignment (handler.py:3792 get_lyric_timestamp surface)
+        if p.bool("return_lrc") and lyric_ids is not None:
+            lines = [ln for ln in lyrics.split("\n") if ln.strip()]
+            n_ids = int(lyric_ids.shape[1])
+            per = max(1, n_ids // max(1, len(lines)))
+            counts = [per] * len(lines)
+            counts[-1] = n_ids - per * (len(lines) - 1)
+            stamps, lrc = engine.get_lyric_timestamps(
+                res.latents, req, lyric_lines=lines, line_token_counts=counts)
+            out["lrc"] = lrc
+            out["lyric_score"] = float(engine.get_lyric_score(res.latents, req))
+        return out
 
     return generate
 
