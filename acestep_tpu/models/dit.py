@@ -396,6 +396,31 @@ def _num_layers(layers) -> int:
     return jax.tree_util.tree_leaves(layers)[0].shape[0]
 
 
+def _pattern_period(flags: List[bool]) -> Optional[int]:
+    """Smallest period p with flags[i] == flags[i % p] and p | len(flags).
+
+    The turbo config alternates sliding/full (period 2): scanning over GROUPS
+    of p layers lets every sub-layer keep a STATIC sliding flag — no lax.cond
+    in the scan body, so XLA fuses/pipelines freely across the attention
+    variants."""
+    n = len(flags)
+    for p in (1, 2, 3, 4):
+        if n % p == 0 and all(flags[i] == flags[i % p] for i in range(n)):
+            return p
+    return None
+
+
+def _group_stacked(tree, n_groups: int, period: int):
+    """Reshape stacked leaves [L, ...] -> [L/p, p, ...]."""
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n_groups, period) + x.shape[1:]), tree
+    )
+
+
+def _index_tree(tree, j: int):
+    return jax.tree_util.tree_map(lambda x: x[j], tree)
+
+
 # ---------------------------------------------------------------------------
 # decoder forward
 # ---------------------------------------------------------------------------
@@ -498,17 +523,38 @@ def forward(
                 x, p, kv_list[i], cfg.layer_types[i] == "sliding_attention"
             )
     else:
-        # scan over the stacked layer axis: ONE compiled layer body
-        sliding_flags = jnp.asarray(
-            [lt == "sliding_attention" for lt in cfg.layer_types]
-        )
+        flags = [lt == "sliding_attention" for lt in cfg.layer_types]
         k_stack, v_stack = kv_list
+        n_layers = len(flags)
+        period = _pattern_period(flags)
+        if period is not None and period <= n_layers:
+            # scan over GROUPS of `period` layers with STATIC sliding flags
+            # (no lax.cond; the attention variant per sub-layer is fixed)
+            n_groups = n_layers // period
+            g_layers = _group_stacked(layers, n_groups, period)
+            g_k = _group_stacked(k_stack, n_groups, period)
+            g_v = _group_stacked(v_stack, n_groups, period)
 
-        def scan_body(x, xs):
-            p, k_l, v_l, flag = xs
-            return layer_body(x, p, (k_l, v_l), flag), None
+            def scan_body(x, xs):
+                pg, kg, vg = xs
+                for j in range(period):
+                    x = layer_body(
+                        x, _index_tree(pg, j), (kg[j], vg[j]), flags[j]
+                    )
+                return x, None
 
-        x, _ = jax.lax.scan(scan_body, x, (layers, k_stack, v_stack, sliding_flags))
+            x, _ = jax.lax.scan(scan_body, x, (g_layers, g_k, g_v))
+        else:
+            # irregular pattern: traced flag + runtime select
+            sliding_flags = jnp.asarray(flags)
+
+            def scan_body(x, xs):
+                p, k_l, v_l, flag = xs
+                return layer_body(x, p, (k_l, v_l), flag), None
+
+            x, _ = jax.lax.scan(
+                scan_body, x, (layers, k_stack, v_stack, sliding_flags)
+            )
 
     # output AdaLN (2-col table) + unpatchify (convtranspose1d stride=patch)
     out_mod = params["out_scale_shift_table"].astype(jnp.float32)[None] + \
@@ -554,10 +600,25 @@ def _encoder_stack(
         return x
 
     n = _num_layers(layers)
-    flags = jnp.asarray([
+    flag_list = [
         i < len(cfg.layer_types) and cfg.layer_types[i] == "sliding_attention"
         for i in range(n)
-    ])
+    ]
+    period = _pattern_period(flag_list)
+    if period is not None and period <= n:
+        n_groups = n // period
+        g_layers = _group_stacked(layers, n_groups, period)
+
+        def scan_body(x, pg):
+            for j in range(period):
+                x = body(x, _index_tree(pg, j),
+                         attn_sliding if flag_list[j] else attn_full)
+            return x, None
+
+        x, _ = jax.lax.scan(scan_body, x, g_layers)
+        return x
+
+    flags = jnp.asarray(flag_list)
 
     def scan_body(x, xs):
         p, flag = xs
