@@ -218,6 +218,22 @@ def understand_music(lm: LMPipeline, audio_codes: str, **kw) -> Dict[str, Any]:
     return lm.understand_audio_from_codes(audio_codes, **kw)
 
 
+def understand_audio(
+    engine: AceStepEngine,
+    lm: LMPipeline,
+    codec_params: Dict[str, Any],
+    audio: np.ndarray,                     # [L, C] float32 waveform
+    **kw,
+) -> Dict[str, Any]:
+    """Raw audio -> metadata/lyrics: VAE-encode -> 5 Hz codes (codec tokenizer)
+    -> LM understanding (the reference's convert_src_audio_to_codes +
+    understand flow, handler.py:1686-1741)."""
+    from acestep_tpu.training.dataset_builder import audio_to_codes
+
+    codes = audio_to_codes(engine, codec_params, np.asarray(audio, np.float32))
+    return lm.understand_audio_from_codes(codes, **kw)
+
+
 def create_sample(lm: LMPipeline, query: str, **kw) -> Dict[str, Any]:
     """Free-text query -> structured sample (inference.py:938+)."""
     return lm.create_sample_from_query(query, **kw)

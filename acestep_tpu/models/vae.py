@@ -285,9 +285,14 @@ def tiled_decode(
 
     # cap the stacked-window batch: full-rate conv activations are ~0.4 GB per
     # 128-frame window, so a small per-call window batch bounds peak HBM while
-    # still amortizing dispatches (a 600 s song has ~230 windows); 4 windows is the
-    # proven-fit batch on 16 GB v5e alongside full engine weights
-    MAX_WINDOW_BATCH = 4
+    # still amortizing dispatches (a 600 s song has ~230 windows);
+    # ACESTEP_TPU_VAE_WINDOW_BATCH overrides (long songs on tight HBM)
+    import os as _os
+
+    try:
+        MAX_WINDOW_BATCH = max(1, int(_os.environ.get("ACESTEP_TPU_VAE_WINDOW_BATCH", "4")))
+    except ValueError:
+        MAX_WINDOW_BATCH = 4
 
     decoded: dict = {}
     for size, idxs in by_size.items():

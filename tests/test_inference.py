@@ -134,3 +134,35 @@ def test_lm_only_flows(stack, monkeypatch):
     assert "raw_output" in out
     out = inference.format_sample(lm, "fast edm please", max_tokens=16)
     assert "raw_output" in out
+
+
+def test_understand_audio_from_waveform():
+    """Raw audio -> codes -> LM understanding (audio-input understanding path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu import inference as inf
+    from acestep_tpu.models import codec, qwen
+    from acestep_tpu.lm_pipeline import LMPipeline
+    from tests.test_pipeline import TINY_DIT, TINY_VAE, TINY_TEXT
+    from tests.test_lm_pipeline import MockTokenizer, TINY as TINY_LM
+    import acestep_tpu.models.dit as dit_mod
+    import acestep_tpu.models.vae as vae_mod
+    import acestep_tpu.models.qwen as qwen_mod
+    from acestep_tpu.pipeline import AceStepEngine
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(0), 5)
+    engine = AceStepEngine(
+        dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+        vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+        qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+    )
+    lm = LMPipeline(qwen.init_params(k4, TINY_LM, dtype=jnp.float32, scale=0.1),
+                    TINY_LM, MockTokenizer())
+    codec_params = codec.init_params(
+        k5, hidden=32, latent_dim=TINY_VAE.decoder_input_channels)
+    sr = 48000
+    t = np.arange(sr) / sr
+    audio = 0.3 * np.sin(2 * np.pi * 330 * t)[:, None].repeat(2, 1).astype(np.float32)
+    out = inf.understand_audio(engine, lm, codec_params, audio, max_tokens=32)
+    assert "raw_output" in out
