@@ -562,6 +562,38 @@ class AceStepEngine:
         )
 
 
+    def encode_refer_audio(
+        self, audios: Sequence[np.ndarray], max_frames: Optional[int] = None
+    ) -> np.ndarray:
+        """Raw refer-audio clips -> timbre-conditioning latents [1, n, Lr, 64].
+
+        Each waveform [L, C] is VAE-encoded and clamped to the reference's
+        30 s / 750-frame timbre window (handler.py:2388-2453 refer-audio ->
+        timbre latents; TIMBRE_FIX_FRAMES clamp :2425)."""
+        from acestep_tpu.constants import TIMBRE_FIX_FRAMES
+
+        max_frames = max_frames or TIMBRE_FIX_FRAMES
+        hop = self.vae_cfg.hop_length
+        clips = []
+        for audio in audios:
+            audio = np.asarray(audio, np.float32)
+            if audio.ndim == 1:
+                audio = audio[:, None]
+            if audio.shape[1] == 1:
+                audio = np.repeat(audio, self.vae_cfg.audio_channels, axis=1)
+            t_frames = max(1, min(audio.shape[0] // hop, max_frames))
+            lat = vae.tiled_encode(
+                self.vae_params, self.vae_cfg,
+                jnp.asarray(audio[None, : t_frames * hop, :]),
+                chunk_frames=128, overlap_frames=32,
+            )
+            clips.append(np.asarray(lat[0], np.float32))
+        lr = max(c.shape[0] for c in clips)
+        out = np.zeros((1, len(clips), lr, clips[0].shape[1]), np.float32)
+        for i, c in enumerate(clips):
+            out[0, i, : c.shape[0]] = c
+        return out
+
     # -- lyric alignment (handler.py:3792 get_lyric_timestamp / :4011 score) --
 
     def get_lyric_timestamps(

@@ -272,3 +272,20 @@ class TestBaseTasks:
             "Complete the input track with DRUMS | BASS:"
         assert get_task_instruction("text2music") == \
             "Fill the audio semantic mask based on the given conditions:"
+
+
+class TestReferAudioPath:
+    def test_encode_refer_audio_and_generate(self, engine):
+        sr = TINY_VAE.sampling_rate
+        hop = TINY_VAE.hop_length
+        t = np.arange(sr // 4) / sr
+        clip = 0.3 * np.sin(2 * np.pi * 440 * t).astype(np.float32)   # mono
+        refer = engine.encode_refer_audio([clip, clip * 0.5])
+        assert refer.shape[0] == 1 and refer.shape[1] == 2
+        assert refer.shape[3] == TINY_VAE.decoder_input_channels
+        assert refer.shape[2] <= len(t) // hop + 1
+        rng = np.random.default_rng(14)
+        res = engine.generate(GenerationRequest(
+            duration_s=10.0, style_token_ids=rng.integers(0, 256, (1, 6)),
+            refer_latents=refer, seeds=[2]))
+        assert np.isfinite(res.latents).all()
