@@ -100,6 +100,7 @@ class Plan:
     vae_chunk_frames: int
     fits: bool
     detail: Dict[str, int]
+    vae_window_batch: int = 4
 
 
 def plan_request(
@@ -121,13 +122,23 @@ def plan_request(
 
     vae_budget = budget - 0  # VAE runs after diffusion; latents are small
     per_frame = vae_decode_bytes_per_frame(vae_cfg) * b
-    chunk = 512
+    # 128 is the engine's proven decode chunk (compile-shape stability); halve
+    # only under tight budgets (reference auto-sizes 512->64, handler.py:1217)
+    chunk = 128
     while chunk > 16 and chunk * per_frame > vae_budget:
         chunk //= 2
+    # stacked decode windows multiply the per-chunk activation; total decoded
+    # audio also stays resident until assembly — scale the window batch down
+    # for long songs / tight budgets (600 s E2E on 16 GB needs < 4)
+    audio_resident = 2 * 4 * frames * vae_cfg.hop_length * vae_cfg.audio_channels * b
+    wb = 4
+    while wb > 1 and wb * chunk * per_frame + audio_resident > vae_budget // 2:
+        wb //= 2
     fits = dit_bytes <= budget and chunk * per_frame <= vae_budget
     return Plan(
         max_batch=b,
         vae_chunk_frames=chunk,
+        vae_window_batch=wb,
         fits=fits,
         detail={
             "hbm_bytes": hbm,

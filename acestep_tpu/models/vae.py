@@ -244,6 +244,8 @@ def tiled_decode(
     chunk_frames: int = 128,
     overlap_frames: Optional[int] = None,
     decode_fn=None,
+    max_window_batch: Optional[int] = None,
+    host_assemble: bool = False,
 ) -> jax.Array:
     """Chunked decode with overlap-discard; window/overlap/trim semantics match
     the C++ runtime (acestep_ggml.cpp:2114-2229).  At most 3 distinct window
@@ -289,10 +291,20 @@ def tiled_decode(
     # ACESTEP_TPU_VAE_WINDOW_BATCH overrides (long songs on tight HBM)
     import os as _os
 
+    env_wb = _os.environ.get("ACESTEP_TPU_VAE_WINDOW_BATCH")
     try:
-        MAX_WINDOW_BATCH = max(1, int(_os.environ.get("ACESTEP_TPU_VAE_WINDOW_BATCH", "4")))
+        MAX_WINDOW_BATCH = max(1, int(env_wb)) if env_wb else max(1, max_window_batch or 4)
     except ValueError:
         MAX_WINDOW_BATCH = 4
+
+    # host_assemble: fetch each window batch to host as it completes and
+    # np.concatenate there — bounds device residency to ONE window batch
+    # (a 600 s song has ~235 window outputs = ~1.2 GB that otherwise sit in
+    # HBM until the final concat; the engine converts to numpy anyway)
+    import numpy as _np
+
+    fetch = _np.asarray if host_assemble else (lambda x: x)
+    cat = _np.concatenate if host_assemble else jnp.concatenate
 
     decoded: dict = {}
     for size, idxs in by_size.items():
@@ -311,13 +323,13 @@ def tiled_decode(
                     bucket *= 2
                 if bucket > n_win:
                     stacked = jnp.pad(stacked, ((0, bucket - n_win), (0, 0), (0, 0)))
-                audio = decode_fn(stacked)                 # [bucket, size*hop, C]
+                audio = fetch(decode_fn(stacked))          # [bucket, size*hop, C]
                 for j, i in enumerate(group):
                     decoded[i] = audio[j:j + 1]
         else:
             for i in idxs:
                 ws, we = windows[i][2], windows[i][3]
-                decoded[i] = decode_fn(latents[:, ws:we, :])
+                decoded[i] = fetch(decode_fn(latents[:, ws:we, :]))
 
     pieces = []
     upsample = None
@@ -330,7 +342,7 @@ def tiled_decode(
         trim_end = int(round((win_end - core_end) * upsample))
         end = audio.shape[1] - trim_end
         pieces.append(audio[:, trim_start:end, :])
-    return jnp.concatenate(pieces, axis=1)
+    return cat(pieces, axis=1)
 
 
 def tiled_encode(

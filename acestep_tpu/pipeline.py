@@ -544,8 +544,9 @@ class AceStepEngine:
             self.vae_params, self.vae_cfg, latents_valid,
             chunk_frames=vae_chunk, overlap_frames=None,  # default: min(64, chunk/4)
             decode_fn=self._vae_decode_jit,               # (overlap=chunk/2 would clamp
-        )                                                 #  stride to 2 -> 125 decodes)
-        _fence(audio)
+            max_window_batch=plan.vae_window_batch,       #  stride to 2 -> 125 decodes)
+            host_assemble=True,   # audio goes to numpy anyway; keeps HBM flat
+        )
         time_costs["vae_time_cost"] = time.perf_counter() - t2
 
         audio_np = np.asarray(audio, dtype=np.float32)
