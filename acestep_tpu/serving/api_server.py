@@ -274,9 +274,32 @@ class ApiServer:
                 if isinstance(result, dict):
                     self.latency.record_time_costs(result.get("time_costs"))
                 self.progress.observe(job["payload"], wall)
+                self._log_request(task_id, job["payload"], "completed", wall)
             except Exception as e:  # noqa: BLE001 — job errors go to the client
                 self.latency.record("job_wall_failed", time.time() - t0)
                 self.store.update(task_id, status="failed", error=str(e))
+                self._log_request(task_id, job["payload"], "failed",
+                                  time.time() - t0, error=str(e))
+
+    def _log_request(self, task_id, payload, status, wall, error=None):
+        """Structured JSONL request log (ACESTEP_TPU_REQUEST_LOG path; the
+        reference logs requests via loguru — SURVEY §5.5)."""
+        path = os.environ.get("ACESTEP_TPU_REQUEST_LOG")
+        if not path:
+            return
+        try:
+            rec = {
+                "ts": time.time(), "task_id": task_id, "status": status,
+                "wall_s": round(wall, 3),
+                "duration": payload.get("duration"),
+                "task_type": payload.get("task_type", "text2music"),
+            }
+            if error:
+                rec["error"] = error[:500]
+            with open(path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except OSError:
+            pass
 
     def _cleaner(self):
         while not self._stop.is_set():
