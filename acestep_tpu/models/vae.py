@@ -297,13 +297,13 @@ def tiled_decode(
     except ValueError:
         MAX_WINDOW_BATCH = 4
 
-    # host_assemble: fetch each window batch to host as it completes and
-    # np.concatenate there — bounds device residency to ONE window batch
-    # (a 600 s song has ~235 window outputs = ~1.2 GB that otherwise sit in
-    # HBM until the final concat; the engine converts to numpy anyway)
+    # host_assemble: keep window outputs on device while every decode is
+    # queued (full pipelining), then ONE batched device_get and numpy
+    # trim/concat — removes the device-side pieces+concat (~0.7 GB at 600 s,
+    # the OOM margin) without a per-group host round-trip
     import numpy as _np
 
-    fetch = _np.asarray if host_assemble else (lambda x: x)
+    fetch = lambda x: x
     cat = _np.concatenate if host_assemble else jnp.concatenate
 
     decoded: dict = {}
@@ -330,6 +330,9 @@ def tiled_decode(
             for i in idxs:
                 ws, we = windows[i][2], windows[i][3]
                 decoded[i] = fetch(decode_fn(latents[:, ws:we, :]))
+
+    if host_assemble:
+        decoded = jax.device_get(decoded)     # one batched transfer
 
     pieces = []
     upsample = None
