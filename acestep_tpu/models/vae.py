@@ -297,14 +297,13 @@ def tiled_decode(
     except ValueError:
         MAX_WINDOW_BATCH = 4
 
-    # host_assemble: keep window outputs on device while every decode is
-    # queued (full pipelining), then ONE batched device_get and numpy
-    # trim/concat — removes the device-side pieces+concat (~0.7 GB at 600 s,
-    # the OOM margin) without a per-group host round-trip
+    # host_assemble: trim on device, concatenate into ~48-window SUPERPIECES
+    # and fetch those few large buffers — avoids both the full-length device
+    # concat (the ~0.7 GB OOM margin at 600 s) and hundreds of per-window
+    # host round-trips (tunnel RTT dominates small transfers)
     import numpy as _np
 
     fetch = lambda x: x
-    cat = _np.concatenate if host_assemble else jnp.concatenate
 
     decoded: dict = {}
     for size, idxs in by_size.items():
@@ -331,9 +330,6 @@ def tiled_decode(
                 ws, we = windows[i][2], windows[i][3]
                 decoded[i] = fetch(decode_fn(latents[:, ws:we, :]))
 
-    if host_assemble:
-        decoded = jax.device_get(decoded)     # one batched transfer
-
     pieces = []
     upsample = None
     for i, (core_start, core_end, win_start, win_end) in enumerate(windows):
@@ -345,7 +341,14 @@ def tiled_decode(
         trim_end = int(round((win_end - core_end) * upsample))
         end = audio.shape[1] - trim_end
         pieces.append(audio[:, trim_start:end, :])
-    return cat(pieces, axis=1)
+    if not host_assemble:
+        return jnp.concatenate(pieces, axis=1)
+    SUPER = 48
+    supers = [
+        jnp.concatenate(pieces[s0:s0 + SUPER], axis=1)
+        for s0 in range(0, len(pieces), SUPER)
+    ]
+    return _np.concatenate(jax.device_get(supers), axis=1)
 
 
 def tiled_encode(
