@@ -8,7 +8,13 @@ from acestep_tpu.settings import Settings
 def test_layered_resolution(tmp_path, monkeypatch):
     envf = tmp_path / ".env"
     envf.write_text("ACESTEP_TPU_QUANT=q4_k\nACESTEP_TPU_SAMPLER=scan\n# c\n")
-    monkeypatch.delenv("ACESTEP_TPU_QUANT", raising=False)
+    # scrub any knobs leaked by earlier tests (apply_env writes the namespace)
+    import os as _os
+
+    from acestep_tpu.settings import KNOBS
+
+    for env, _t, _d in KNOBS.values():
+        monkeypatch.delenv(env, raising=False)
     monkeypatch.setenv("ACESTEP_TPU_SAMPLER", "step")       # env beats .env
 
     s = Settings.load(env_file=str(envf), n_devices=8, quant=None)
