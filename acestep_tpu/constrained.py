@@ -131,6 +131,7 @@ class MetadataFSM:
         self.mode = "key"         # key | value | done
         self.value_text = ""
         self.forced_text: Optional[str] = None   # remaining forced chars
+        self._mask_cache: Dict[tuple, np.ndarray] = {}
         self._begin_field()
 
     # -- state machinery -----------------------------------------------------
@@ -203,10 +204,29 @@ class MetadataFSM:
         return self._value_ok(f, self.value_text + piece, partial=True)
 
     def allowed(self, token_strs: Sequence[str]) -> np.ndarray:
-        return np.fromiter(
+        """Token mask for the whole vocab at the current state.
+
+        Masks are MEMOIZED by the FSM state signature (the reference
+        precomputes per-state token-mask tables,
+        constrained_logits_processor.py:548-648): forced-text states and
+        repeated trie prefixes hit the cache, so real 151k-token vocabs pay
+        the O(V) scan once per distinct state instead of once per step."""
+        key = (
+            self.field_idx, self.mode, self.forced_text,
+            self.value_text if self.mode == "value" else "",
+            id(token_strs),
+        )
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        mask = np.fromiter(
             (self.allowed_piece(t) for t in token_strs), dtype=bool,
             count=len(token_strs),
         )
+        if len(self._mask_cache) > 256:
+            self._mask_cache.clear()
+        self._mask_cache[key] = mask
+        return mask
 
     def step(self, piece: str) -> None:
         """Advance the FSM with an emitted token string."""
