@@ -68,8 +68,15 @@ MODELS = [
 ]
 
 
+TAG_PROMPT = re.compile(r"<prompt>(.*?)</prompt>", re.DOTALL | re.IGNORECASE)
+TAG_LYRICS = re.compile(r"<lyrics>(.*?)</lyrics>", re.DOTALL | re.IGNORECASE)
+
+
 def parse_chat_messages(messages: List[Dict[str, Any]]) -> Dict[str, Any]:
-    """Last user message -> {caption, lyrics, metadata} (adapter :199-422 rules)."""
+    """Last user message -> {caption, lyrics, metadata} (adapter :199-422 rules).
+
+    Explicit ``<prompt>``/``<lyrics>`` tags take precedence over the
+    line-heuristic parse (openrouter_api_server.py chat_completions docs)."""
     user_text = ""
     for m in reversed(messages):
         if m.get("role") == "user":
@@ -78,6 +85,15 @@ def parse_chat_messages(messages: List[Dict[str, Any]]) -> Dict[str, Any]:
                 c = " ".join(p.get("text", "") for p in c if p.get("type") == "text")
             user_text = c
             break
+
+    tp = TAG_PROMPT.search(user_text)
+    tl = TAG_LYRICS.search(user_text)
+    if tp or tl:
+        return {
+            "caption": (tp.group(1).strip() if tp else ""),
+            "lyrics": (tl.group(1).strip() if tl else ""),
+            "metadata": {},
+        }
 
     metadata: Dict[str, Any] = {}
     caption_lines: List[str] = []

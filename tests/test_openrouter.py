@@ -148,3 +148,15 @@ def test_stats_latency_histogram():
     assert stats["latency"]["job_wall"]["count"] >= 1
     assert "p90" in stats["latency"]["job_wall"]
     assert stats["latency"]["diffusion_time_cost"]["count"] >= 1
+
+
+def test_tagged_prompt_lyrics_parse():
+    from acestep_tpu.serving.openrouter_server import parse_chat_messages
+
+    out = parse_chat_messages([{
+        "role": "user",
+        "content": "make this: <prompt>dark techno</prompt>\n"
+                   "<lyrics>[verse]\nmidnight run</lyrics>",
+    }])
+    assert out["caption"] == "dark techno"
+    assert out["lyrics"] == "[verse]\nmidnight run"
