@@ -692,8 +692,16 @@ def build_random_engine(
             p = quantize_tree_jax(p, quant)
         return qwen.stack_params(p)
 
+    # VAE compute dtype: f32 default (precision-sensitive Snake/convT chain,
+    # SURVEY §7.3); ACESTEP_TPU_VAE_DTYPE=bf16 opts into bf16 convs (Snake
+    # stays f32 internally) for ~2x conv throughput once quality-gated
+    import os as _os
+
+    vae_dt = (jnp.bfloat16
+              if _os.environ.get("ACESTEP_TPU_VAE_DTYPE", "f32") in ("bf16", "bfloat16")
+              else jnp.float32)
     dit_params = jax.jit(build_dit)(k1)
-    vae_params = jax.jit(lambda k: vae.init_params(k, vae_cfg))(k2)
+    vae_params = jax.jit(lambda k: vae.init_params(k, vae_cfg, dtype=vae_dt))(k2)
     text_params = jax.jit(build_text)(k3)
     return AceStepEngine(
         dit_params, dit_cfg, vae_params, vae_cfg, text_params, text_cfg

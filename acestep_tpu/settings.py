@@ -35,6 +35,8 @@ KNOBS = {
     "genres_file": ("ACESTEP_TPU_GENRES_FILE", str, None),
     "progress_cache": ("ACESTEP_TPU_PROGRESS_CACHE", str, None),
     "compile_cache": ("ACESTEP_TPU_COMPILE_CACHE", str, ".jax_cache"),
+    "vae_dtype": ("ACESTEP_TPU_VAE_DTYPE", str, "f32"),
+    "request_log": ("ACESTEP_TPU_REQUEST_LOG", str, None),
 }
 
 
