@@ -233,6 +233,8 @@ class ApiServer:
         models_info: Optional[Dict[str, Any]] = None,
         api_key: Optional[str] = None,
         audio_dir: Optional[str] = None,
+        lora_runtime: Optional[Any] = None,
+        training_manager: Optional[Any] = None,
     ):
         # /v1/audio downloads are restricted to this directory (path-traversal
         # guard, api_server.py:898-930 _validate_audio_path)
@@ -242,6 +244,8 @@ class ApiServer:
         self.format_input_fn = format_input_fn
         self.models_info = models_info or {"models": ["acestep-v15-turbo-tpu"]}
         self.api_key = api_key if api_key is not None else os.environ.get("ACESTEP_TPU_API_KEY")
+        self.lora_runtime = lora_runtime
+        self.training_manager = training_manager
         self.store = JobStore()
         self.latency = LatencyStats()
         from acestep_tpu.progress import ProgressEstimator
@@ -381,6 +385,14 @@ class ApiServer:
                     self.end_headers()
                     self.wfile.write(data)
                     return None
+                if self.path == "/v1/lora":
+                    if server.lora_runtime is None:
+                        return self._send(501, {"error": "LoRA runtime not attached"})
+                    return self._send(200, {"adapters": server.lora_runtime.list_adapters()})
+                if self.path == "/v1/training/status":
+                    if server.training_manager is None:
+                        return self._send(501, {"error": "training not attached"})
+                    return self._send(200, server.training_manager.status())
                 return self._send(404, {"error": "not found"})
 
             def do_POST(self):
@@ -415,6 +427,50 @@ class ApiServer:
                     if server.format_input_fn is None:
                         return self._send(501, {"error": "LM not loaded"})
                     return self._send(200, server.format_input_fn(body.get("text", "")))
+                if self.path == "/v1/lora":
+                    # {action: register|activate|deactivate|scale|unregister,
+                    #  name, path?, alpha?, scale?} (core/lora/service.py surface)
+                    if server.lora_runtime is None:
+                        return self._send(501, {"error": "LoRA runtime not attached"})
+                    action = body.get("action", "")
+                    name = body.get("name", "")
+                    try:
+                        rt = server.lora_runtime
+                        if action == "register":
+                            rt.register_from_dir(name, body["path"],
+                                                 alpha=float(body.get("alpha", 16.0)))
+                        elif action == "activate":
+                            rt.activate(name, scale=float(body.get("scale", 1.0)))
+                        elif action == "deactivate":
+                            rt.deactivate(name)
+                        elif action == "deactivate_all":
+                            rt.deactivate_all()
+                        elif action == "scale":
+                            rt.set_scale(name, float(body.get("scale", 1.0)))
+                        elif action == "unregister":
+                            rt.unregister(name)
+                        else:
+                            return self._send(400, {"error": f"unknown action {action!r}"})
+                        return self._send(200, {"ok": True,
+                                                "adapters": rt.list_adapters()})
+                    except KeyError as e:
+                        # runtime KeyErrors carry a message ("unknown adapter:
+                        # x"); bare field names come from body[...] access
+                        msg = e.args[0] if e.args else str(e)
+                        if isinstance(msg, str) and " " in msg:
+                            return self._send(400, {"error": msg})
+                        return self._send(400, {"error": f"missing field {e}"})
+                    except Exception as e:  # noqa: BLE001 — adapter errors to client
+                        return self._send(500, {"error": str(e)})
+                if self.path == "/v1/training/start":
+                    if server.training_manager is None:
+                        return self._send(501, {"error": "training not attached"})
+                    out = server.training_manager.start(body)
+                    return self._send(409 if "error" in out else 200, out)
+                if self.path == "/v1/training/stop":
+                    if server.training_manager is None:
+                        return self._send(501, {"error": "training not attached"})
+                    return self._send(200, server.training_manager.stop())
                 return self._send(404, {"error": "not found"})
 
         return Handler

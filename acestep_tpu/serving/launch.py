@@ -34,12 +34,28 @@ def build_engine(checkpoint: Optional[str], quant: str):
     from acestep_tpu.pipeline import AceStepEngine, build_random_engine
 
     if checkpoint:
-        return AceStepEngine(
-            loader.load_params(os.path.join(checkpoint, "dit")), DiTConfig(),
-            loader.load_params(os.path.join(checkpoint, "vae")), VAEConfig(),
-            loader.load_params(os.path.join(checkpoint, "text_encoder")), QwenConfig(),
+        import json
+
+        def load_cfg(name, cls):
+            # tools/convert_checkpoint.py writes <name>.config.json next to
+            # the converted weights; fall back to flagship defaults
+            p = os.path.join(checkpoint, f"{name}.config.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    return cls.from_dict(json.load(f))
+            return cls()
+
+        dit_params = loader.load_params(os.path.join(checkpoint, "dit"))
+        engine = AceStepEngine(
+            dit_params, load_cfg("dit", DiTConfig),
+            loader.load_params(os.path.join(checkpoint, "vae")),
+            load_cfg("vae", VAEConfig),
+            loader.load_params(os.path.join(checkpoint, "text_encoder")),
+            load_cfg("text_encoder", QwenConfig),
         )
-    return build_random_engine(jax.random.key(0), quant=None if quant == "bf16" else quant)
+        return engine, dit_params
+    eng = build_random_engine(jax.random.key(0), quant=None if quant == "bf16" else quant)
+    return eng, None
 
 
 def make_generate_fn(engine, tokenizer=None):
@@ -134,13 +150,22 @@ def main(argv=None):
 
     print(f"building engine (quant={args.quant}, checkpoint={args.checkpoint})...",
           file=sys.stderr)
-    engine = build_engine(args.checkpoint, args.quant)
+    engine, dit_base_params = build_engine(args.checkpoint, args.quant)
     generate = make_generate_fn(engine)
 
     if args.mode == "api":
         from acestep_tpu.serving.api_server import ApiServer
+        from acestep_tpu.serving.training_manager import TrainingManager
 
-        srv = ApiServer(generate)
+        lora_rt = None
+        if dit_base_params is not None:
+            # adapters merge against the UNSTACKED checkpoint tree; demo mode
+            # (random weights) has no such tree, so the LoRA tab stays off
+            from acestep_tpu.lora_runtime import LoRARuntime
+
+            lora_rt = LoRARuntime(engine, dit_base_params)
+        srv = ApiServer(generate, lora_runtime=lora_rt,
+                        training_manager=TrainingManager())
         port = srv.start(args.host, args.port or 8000)
         print(f"API + studio at http://{args.host}:{port}/  (POST /release_task)")
     else:

@@ -93,14 +93,19 @@ def apply_lora(params: Any, lora: Any, alpha: float = 16.0) -> Any:
 
     def walk(pp, ll):
         if isinstance(pp, dict):
+            # ll may be None or missing subtrees (adapters saved to disk drop
+            # untargeted None leaves — loader round-trip keeps only real arrays)
+            def sub(k):
+                return ll.get(k) if isinstance(ll, dict) else None
+
             return {
-                k: (merge(pp[k], ll.get(k)) if _is_lora_leaf(ll.get(k)) and _is_weight(pp[k])
-                    else walk(pp[k], ll.get(k) if isinstance(ll, dict) else None))
+                k: (merge(pp[k], sub(k)) if _is_lora_leaf(sub(k)) and _is_weight(pp[k])
+                    else walk(pp[k], sub(k)))
                 for k in pp
             }
         if isinstance(pp, (list, tuple)):
             return type(pp)(
-                walk(v, ll[i] if isinstance(ll, (list, tuple)) else None)
+                walk(v, ll[i] if isinstance(ll, (list, tuple)) and i < len(ll) else None)
                 for i, v in enumerate(pp)
             )
         return pp

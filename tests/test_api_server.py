@@ -167,3 +167,144 @@ def test_v1_audio_download_and_traversal_guard(tmp_path):
         assert blocked
     finally:
         srv.stop()
+
+
+# -- training + LoRA routes (reference gradio training tab / lora service) ----
+
+class _FakeTrainer:
+    def __init__(self, steps=5):
+        self.step = 0
+        self.history = []
+        self.tc = type("TC", (), {"total_steps": steps})()
+
+    def train(self, batches, max_steps=None, log_fn=None, metrics=None):
+        for _ in batches:
+            if self.step >= (max_steps or 5):
+                break
+            self.step += 1
+            self.history.append(1.0 / self.step)
+            time.sleep(0.01)
+        return {"steps": self.step}
+
+    def export(self, name="adapter"):
+        return f"/tmp/{name}"
+
+
+def _fake_factory(payload):
+    def batches():
+        while True:
+            yield {}
+    return _FakeTrainer(int(payload.get("total_steps", 5))), batches()
+
+
+class _FakeLoraRuntime:
+    def __init__(self):
+        self.adapters = {}
+
+    def list_adapters(self):
+        return dict(self.adapters)
+
+    def register_from_dir(self, name, path, alpha=16.0):
+        self.adapters[name] = {"alpha": alpha, "scale": 1.0, "active": False}
+
+    def activate(self, name, scale=1.0):
+        self.adapters[name].update(active=True, scale=scale)
+
+    def deactivate(self, name):
+        self.adapters[name]["active"] = False
+
+    def deactivate_all(self):
+        for a in self.adapters.values():
+            a["active"] = False
+
+    def set_scale(self, name, scale):
+        self.adapters[name]["scale"] = scale
+
+    def unregister(self, name):
+        self.adapters.pop(name, None)
+
+
+@pytest.fixture()
+def managed_server():
+    from acestep_tpu.serving.training_manager import TrainingManager
+
+    srv = ApiServer(
+        lambda p: {"ok": True},
+        api_key="",
+        lora_runtime=_FakeLoraRuntime(),
+        training_manager=TrainingManager(trainer_factory=_fake_factory),
+    )
+    port = srv.start(port=0)
+    yield srv, port
+    srv.stop()
+
+
+def test_training_lifecycle(managed_server):
+    _, port = managed_server
+    code, out = _post(port, "/v1/training/start", {"total_steps": 5})
+    assert code == 200 and out["state"] == "starting"
+    # double-start rejected while running or completes fast; poll to terminal
+    t0 = time.time()
+    while time.time() - t0 < 5:
+        code, st = _get(port, "/v1/training/status")
+        if st["state"] in ("completed", "failed", "stopped"):
+            break
+        time.sleep(0.05)
+    assert st["state"] == "completed", st
+    assert st["step"] == 5
+    assert st["export_path"] == "/tmp/adapter"
+    # restart works after completion
+    code, out = _post(port, "/v1/training/start", {"total_steps": 2})
+    assert code == 200
+
+
+def test_training_stop(managed_server):
+    _, port = managed_server
+    _post(port, "/v1/training/start", {"total_steps": 100000})
+    time.sleep(0.2)
+    code, out = _post(port, "/v1/training/stop", {})
+    assert code == 200
+    t0 = time.time()
+    while time.time() - t0 < 5:
+        _, st = _get(port, "/v1/training/status")
+        if st["state"] in ("stopped", "completed"):
+            break
+        time.sleep(0.05)
+    assert st["state"] == "stopped"
+
+
+def test_training_double_start_conflict(managed_server):
+    _, port = managed_server
+    _post(port, "/v1/training/start", {"total_steps": 100000})
+    time.sleep(0.1)
+    code, out = _post(port, "/v1/training/start", {"total_steps": 5})
+    assert code == 409 and "error" in out
+    _post(port, "/v1/training/stop", {})
+
+
+def test_lora_routes(managed_server):
+    _, port = managed_server
+    code, out = _get(port, "/v1/lora")
+    assert code == 200 and out["adapters"] == {}
+    code, out = _post(port, "/v1/lora",
+                      {"action": "register", "name": "a", "path": "/x", "alpha": 8})
+    assert code == 200 and out["adapters"]["a"]["alpha"] == 8
+    code, out = _post(port, "/v1/lora",
+                      {"action": "activate", "name": "a", "scale": 0.5})
+    assert out["adapters"]["a"]["active"] and out["adapters"]["a"]["scale"] == 0.5
+    code, out = _post(port, "/v1/lora", {"action": "scale", "name": "a", "scale": 2.0})
+    assert out["adapters"]["a"]["scale"] == 2.0
+    code, out = _post(port, "/v1/lora", {"action": "deactivate", "name": "a"})
+    assert not out["adapters"]["a"]["active"]
+    code, out = _post(port, "/v1/lora", {"action": "unregister", "name": "a"})
+    assert out["adapters"] == {}
+    code, out = _post(port, "/v1/lora", {"action": "nope", "name": "a"})
+    assert code == 400
+
+
+def test_training_lora_not_attached(server):
+    _, port = server
+    code, _ = _get(port, "/v1/training/status")
+    assert code == 501
+    code, _ = _get(port, "/v1/lora")
+    assert code == 501

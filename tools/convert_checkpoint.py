@@ -73,6 +73,12 @@ def main():
         params = load_fn(st, cfg)
         loader.save_params(os.path.join(args.out, name), params,
                            {"component": name, "quant": args.quant})
+        # persist the resolved architecture config so serving needs no access
+        # to the source checkpoint dir (launch.py build_engine reads these)
+        import dataclasses
+
+        with open(os.path.join(args.out, f"{name}.config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=1)
         dt = time.time() - t0
         manifest["components"][name] = {"source": path, "seconds": round(dt, 1)}
         print(f"{name}: converted in {dt:.1f}s", file=sys.stderr)
