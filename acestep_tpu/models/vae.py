@@ -58,7 +58,19 @@ def conv_transpose1d(
     *, stride: int = 1, padding: int = 0,
 ) -> jax.Array:
     """torch.nn.ConvTranspose1d semantics; w is already spatially-reversed
-    [k, in, out] (see module docstring).  out_len = (L-1)*stride - 2*pad + k."""
+    [k, in, out] (see module docstring).  out_len = (L-1)*stride - 2*pad + k.
+
+    Dispatches to the subpixel formulation for stride > 1 (identical sums;
+    avoids convolving over the ~(stride-1)/stride zeros that lhs_dilation
+    inserts).  ``ACESTEP_TPU_CONVT_SUBPIXEL=0`` forces the dilated path."""
+    import os as _os
+
+    if stride > 1 and _os.environ.get("ACESTEP_TPU_CONVT_SUBPIXEL", "1") != "0":
+        y = _conv_transpose1d_subpixel(x, w, stride=stride, padding=padding)
+        if y is not None:
+            if b is not None:
+                y = y + b
+            return y
     k = w.shape[0]
     y = jax.lax.conv_general_dilated(
         x, w,
@@ -70,6 +82,58 @@ def conv_transpose1d(
     if b is not None:
         y = y + b
     return y
+
+
+def _conv_transpose1d_subpixel(
+    x: jax.Array, w: jax.Array, *, stride: int, padding: int,
+) -> Optional[jax.Array]:
+    """Phase-decomposed transposed conv: one dense stride-1 conv producing
+    ``stride`` output phases as channels, then interleave.
+
+    With xd = x dilated by s, the dilated path computes
+        y[t] = sum_j xd[t + j - (k-1-p)] * w[j];
+    only j ≡ (k-1-p) - t (mod s) hit non-zero taps, so each output phase
+    b = t mod s is a plain correlation of x with the subsampled kernel
+    w[j0(b)::s] at offset d(b).  Same products, same ascending-j order —
+    bit-comparable up to XLA reduction-order noise, at ~1/s the MACs."""
+    k, cin, cout = w.shape
+    s, p = stride, padding
+    c = k - 1 - p
+    j0 = [(c - b) % s for b in range(s)]
+    d = [(b + j0[b] - c) // s for b in range(s)]
+    D = min(d)
+    if D > 0:                       # never for k=2s, p=ceil(s/2); keep safe
+        return None
+    shift = [d[b] - D for b in range(s)]
+    m_count = [(k - 1 - j0[b]) // s + 1 for b in range(s)]
+    kk = max(m_count[b] + shift[b] for b in range(s))
+
+    # static gather plan: jj[m', b] = tap into w, valid mask where in-range
+    jj = np.zeros((kk, s), np.int32)
+    valid = np.zeros((kk, s), bool)
+    for b in range(s):
+        for mp in range(kk):
+            m = mp - shift[b]
+            t = j0[b] + m * s
+            if 0 <= m and 0 <= t < k:
+                jj[mp, b] = t
+                valid[mp, b] = True
+    w2 = jnp.where(
+        jnp.asarray(valid)[:, :, None, None],
+        w[jnp.asarray(jj)],                       # [kk, s, cin, cout]
+        jnp.zeros((), w.dtype),
+    ).transpose(0, 2, 1, 3).reshape(kk, cin, s * cout)
+
+    l = x.shape[1]
+    out_len = (l - 1) * s - 2 * p + k
+    a_count = -(-out_len // s)                     # ceil: phases per row
+    pl = -D
+    pr = max(0, a_count - 1 + kk - l - pl)
+    y = jax.lax.conv_general_dilated(
+        x, w2, window_strides=(1,), padding=((pl, pr),), dimension_numbers=_DN,
+    )                                              # [B, a_count, s*cout]
+    y = y[:, :a_count, :].reshape(x.shape[0], a_count, s, cout)
+    return y.reshape(x.shape[0], a_count * s, cout)[:, :out_len, :]
 
 
 def snake(x: jax.Array, alpha: jax.Array, beta: jax.Array, logscale: bool = True) -> jax.Array:

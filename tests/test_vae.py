@@ -187,3 +187,28 @@ class TestEndToEnd:
         assert cfg.hop_length == 1920            # 48 kHz / 1920 = 25 Hz latents
         assert cfg.latent_rate == 25.0
         assert cfg.decoder_input_channels == 64
+
+
+def test_conv_transpose_subpixel_matches_dilated():
+    """Subpixel convT (stride>1 fast path) is numerically identical to the
+    lhs_dilation formulation across the decoder's (k=2s, p=ceil(s/2)) family
+    and generic shapes."""
+    import math
+    import os
+
+    rng = np.random.default_rng(7)
+    cases = [(10, 16, 8, 13), (6, 8, 8, 25), (4, 8, 4, 31), (2, 4, 4, 50),
+             (3, 5, 7, 17)]
+    for s, cin, cout, L in cases:
+        k, p = 2 * s, math.ceil(s / 2)
+        x = jnp.asarray(rng.standard_normal((2, L, cin)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, cin, cout)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+        os.environ["ACESTEP_TPU_CONVT_SUBPIXEL"] = "0"
+        try:
+            ref = vae.conv_transpose1d(x, w, b, stride=s, padding=p)
+        finally:
+            os.environ.pop("ACESTEP_TPU_CONVT_SUBPIXEL", None)
+        new = vae.conv_transpose1d(x, w, b, stride=s, padding=p)
+        assert ref.shape == new.shape
+        assert float(jnp.abs(ref - new).max()) < 1e-4
