@@ -301,6 +301,13 @@ def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
 # handler.py:2848-3060)
 # ---------------------------------------------------------------------------
 
+_jit_absmax = jax.jit(lambda x: jnp.max(jnp.abs(x.astype(jnp.float32))))
+_jit_to_int16 = jax.jit(
+    lambda x, s: jnp.clip(
+        jnp.round(x.astype(jnp.float32) * s), -32768.0, 32767.0
+    ).astype(jnp.int16)
+)
+
 def tiled_decode(
     params: Params,
     cfg: VAEConfig,
@@ -412,6 +419,19 @@ def tiled_decode(
         jnp.concatenate(pieces[s0:s0 + SUPER], axis=1)
         for s0 in range(0, len(pieces), SUPER)
     ]
+    # int16 d2h transfer (default on): the result is peak-normalized to 16-bit
+    # WAV downstream, so quantizing at the song's global peak on DEVICE loses
+    # nothing the output keeps — and moves 4x fewer bytes over d2h (the
+    # dominant VAE-phase term through the dev tunnel: ~230 MB f32 at 600 s)
+    if _os.environ.get("ACESTEP_TPU_D2H_INT16", "1") != "0":
+        peak = max(
+            float(jax.device_get(_jit_absmax(s))) for s in supers
+        )
+        scale = _np.float32(32767.0 / max(peak, 1e-12))
+        parts = jax.device_get(
+            [_jit_to_int16(s, jnp.float32(scale)) for s in supers]
+        )
+        return _np.concatenate(parts, axis=1).astype(_np.float32) / scale
     return _np.concatenate(jax.device_get(supers), axis=1)
 
 

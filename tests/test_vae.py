@@ -147,6 +147,25 @@ class TestEndToEnd:
         assert np.median(err) < 1e-5
         assert err.max() < 1e-4
 
+    def test_tiled_decode_host_assemble_int16_transfer(self, setup, monkeypatch):
+        """host_assemble fetches int16 at the song's global peak scale; the
+        roundtrip error is bounded by one 16-bit LSB of the peak — the same
+        precision the final WAV keeps."""
+        params = setup
+        t = 96
+        lat = jnp.asarray(np.random.default_rng(6).standard_normal(
+            (1, t, TINY.decoder_input_channels)), jnp.float32)
+        monkeypatch.setenv("ACESTEP_TPU_D2H_INT16", "0")
+        f32 = np.asarray(vae.tiled_decode(params, TINY, lat, chunk_frames=60,
+                                          overlap_frames=20, host_assemble=True))
+        monkeypatch.setenv("ACESTEP_TPU_D2H_INT16", "1")
+        i16 = vae.tiled_decode(params, TINY, lat, chunk_frames=60,
+                               overlap_frames=20, host_assemble=True)
+        assert isinstance(i16, np.ndarray) and i16.dtype == np.float32
+        assert i16.shape == f32.shape
+        lsb = np.abs(f32).max() / 32767.0
+        assert np.abs(i16 - f32).max() <= lsb * 0.51  # round-to-nearest
+
     def test_tiled_decode_insufficient_overlap_has_seams(self, setup):
         """Sanity check on the probe: small overlap must NOT match — guards against
         the comparison accidentally passing for trivial reasons."""
