@@ -76,3 +76,48 @@ def test_save_batch_content_names(tmp_path):
     assert len(paths) == 2 and paths[0] != paths[1]
     for p in paths:
         assert p.endswith(".flac")
+
+
+def test_flac_compresses_tonal_audio():
+    """Fixed-predictor + Rice subframes: tonal audio must land well under
+    verbatim size; the stream still round-trips bit-exactly (int16 domain)."""
+    x = _tone(48000)
+    data = encode_flac(x, 48000)
+    assert len(data) < 0.6 * x.shape[0] * x.shape[1] * 2
+    pcm = np.round(np.clip(x.astype(np.float64), -1, 1) * 32767).astype(np.int16)
+    y, _ = decode_flac(data)
+    np.testing.assert_array_equal(
+        np.round(y * 32767).astype(np.int16), pcm)
+
+
+def test_flac_silence_collapses_to_constant():
+    x = np.zeros((48000, 2), np.float32)
+    data = encode_flac(x, 48000)
+    assert len(data) < 2500            # ~12 frames of CONSTANT subframes
+    y, _ = decode_flac(data)
+    assert np.abs(y).max() == 0.0
+
+
+def test_flac_noise_never_expands_past_verbatim():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((20000, 2)) * 0.4).clip(-1, 1).astype(np.float32)
+    data = encode_flac(x, 48000)
+    verbatim = encode_flac(x, 48000, compress=False)
+    assert len(data) <= len(verbatim) * 1.01
+    pcm = np.round(np.clip(x.astype(np.float64), -1, 1) * 32767).astype(np.int16)
+    y, _ = decode_flac(data)
+    np.testing.assert_array_equal(np.round(y * 32767).astype(np.int16), pcm)
+
+
+def test_flac_fixed_order_warmup_roundtrip():
+    """Force high-order predictors: a ramp makes order-2+ optimal; short and
+    non-multiple-of-block lengths exercise the warmup + final-frame paths."""
+    n = 5000
+    ramp = (np.arange(n, dtype=np.float64) / n - 0.5) * 1.2
+    x = np.clip(ramp, -1, 1).astype(np.float32)[:, None]
+    data = encode_flac(x, 32000)
+    assert len(data) < 0.3 * n * 2
+    pcm = np.round(np.clip(x.astype(np.float64), -1, 1) * 32767).astype(np.int16)
+    y, sr = decode_flac(data)
+    assert sr == 32000
+    np.testing.assert_array_equal(np.round(y * 32767).astype(np.int16), pcm)

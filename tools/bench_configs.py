@@ -85,14 +85,20 @@ def main():
         batcher = ContinuousBatcher(engine.generate, max_batch=8, max_wait_s=0.3)
         batcher.start()
         try:
-            t0 = time.perf_counter()
-            futs = [
-                batcher.submit(GenerationRequest(
-                    duration_s=d, style_token_ids=style, seeds=[i]))
-                for i, d in enumerate(durations)
-            ]
-            results = [f.result(timeout=3600) for f in futs]
-            wall = time.perf_counter() - t0
+            # two passes: pass 1 compiles the merged-batch shapes (the
+            # per-duration warmup above is batch=1; the batcher merges same-
+            # bucket requests into batch>=2 calls), pass 2 is the steady state
+            walls = []
+            for _pass in range(2):
+                t0 = time.perf_counter()
+                futs = [
+                    batcher.submit(GenerationRequest(
+                        duration_s=d, style_token_ids=style, seeds=[i]))
+                    for i, d in enumerate(durations)
+                ]
+                results = [f.result(timeout=3600) for f in futs]
+                walls.append(time.perf_counter() - t0)
+            wall = walls[-1]
         finally:
             batcher.stop()
         total_audio_s = sum(d for d in durations)
@@ -103,6 +109,7 @@ def main():
                 "requests": len(durations),
                 "total_audio_s": total_audio_s,
                 "audio_s_per_wall_s": round(total_audio_s / wall, 2),
+                "cold_wall_s": round(walls[0], 4),
                 "batches": batcher.stats["batches"],
                 "merged_sizes": batcher.stats["merged_sizes"],
             },
