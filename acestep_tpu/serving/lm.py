@@ -247,6 +247,29 @@ def decode_step(
 # sampling
 # ---------------------------------------------------------------------------
 
+def _top_p_threshold(probs: jax.Array, top_p: float, iters: int = 24) -> jax.Array:
+    """Largest probability threshold t with mass{p >= t} >= top_p, per row.
+
+    Bisection over t — `iters` masked sums over the vocab instead of a full
+    151936-wide sort: a vocab sort on TPU costs milliseconds and sat inside
+    the decode scan EVERY token (the round-2 LM-decode hot spot); the masked
+    sums are bandwidth-trivial.  Keep-set semantics match the sorted-nucleus
+    formulation up to ties at the cutoff (tie-inclusive, as before)."""
+    pmax = jnp.max(probs, axis=-1, keepdims=True)
+    lo = jnp.zeros_like(pmax)                     # mass(0) = 1 >= top_p
+    hi = pmax * (1.0 + 1e-6) + 1e-12              # mass(hi) = 0 < top_p
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1, keepdims=True)
+        ok = mass >= top_p
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo
+
+
 def sample_logits(
     key: jax.Array,
     logits: jax.Array,              # [B, V] f32
@@ -258,16 +281,12 @@ def sample_logits(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_k and top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1][:, None]
         logits = jnp.where(logits < kth, NEG_INF, logits)
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep smallest set with cumulative prob >= top_p (always keep top-1)
-        cutoff_idx = jnp.sum(cum < top_p, axis=-1)
-        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-        logits = jnp.where(logits < cutoff, NEG_INF, logits)
+        probs = jax.nn.softmax(logits, axis=-1)
+        thr = _top_p_threshold(probs, top_p)
+        logits = jnp.where(probs < thr, NEG_INF, logits)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
