@@ -342,7 +342,7 @@ def save_params(path: str, params: Any, metadata: Optional[Dict[str, str]] = Non
     for name, leaf in flat.items():
         if isinstance(leaf, QuantTensor):
             entry = {"type": "quant", "fmt": leaf.fmt, "shape": list(leaf.shape), "fields": []}
-            for f in ("data", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"):
+            for f in ("data", "data_hi", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"):
                 a = getattr(leaf, f)
                 if a is not None:
                     arr = np.asarray(a)

@@ -216,6 +216,61 @@ static void q4_k(const float* w, int64_t k, int64_t n, uint8_t* data,
     });
 }
 
+// fold-64 2-bit pack: row r of group g -> byte (g*64 + r%64), bit pair r/64
+static inline void pack_crumb(uint8_t* packed, int64_t n, int64_t row, int64_t col,
+                              uint8_t val) {
+    const int64_t g = row / FOLD;
+    const int64_t r = row % FOLD;
+    uint8_t* cell = &packed[(g * (FOLD / 4) + (r % (FOLD / 4))) * n + col];
+    const int shift = 2 * static_cast<int>(r / (FOLD / 4));
+    *cell = static_cast<uint8_t>((*cell & ~(0x3u << shift)) |
+                                 (static_cast<uint32_t>(val & 0x3u) << shift));
+}
+
+static void q6_k(const float* w, int64_t k, int64_t n, uint8_t* data,
+                 uint8_t* data_hi, int8_t* ls, uint16_t* dsup) {
+    constexpr int SUB16 = 16;
+    std::memset(data, 0, static_cast<size_t>(k / 2) * n);
+    std::memset(data_hi, 0, static_cast<size_t>(k / 4) * n);
+    const int64_t ns = k / SUPER;
+    const int sub = SUPER / SUB16;
+    parallel_cols(n, [&](int64_t c0, int64_t c1) {
+        std::vector<float> d_b(sub);
+        for (int64_t s = 0; s < ns; ++s) {
+            for (int64_t c = c0; c < c1; ++c) {
+                float dmax = 0.f;
+                for (int j = 0; j < sub; ++j) {
+                    const int64_t b = s * sub + j;
+                    float best = 0.f, amax = 0.f;
+                    for (int r = 0; r < SUB16; ++r) {
+                        const float v = w[(b * SUB16 + r) * n + c];
+                        if (std::fabs(v) > amax) { amax = std::fabs(v); best = v; }
+                    }
+                    d_b[j] = best / -32.0f;
+                    dmax = std::max(dmax, std::fabs(d_b[j]));
+                }
+                const float ds = dmax / 127.0f;
+                dsup[s * n + c] = f32_to_f16(ds);
+                for (int j = 0; j < sub; ++j) {
+                    const int64_t b = s * sub + j;
+                    float lsv = ds > 0.f ? roundf_away(d_b[j] / ds) : 0.f;
+                    lsv = std::min(127.f, std::max(-127.f, lsv));
+                    ls[b * n + c] = static_cast<int8_t>(lsv);
+                    const float d_eff = ds * lsv;   // unrounded super scale,
+                    const float inv = d_eff != 0.f ? 1.0f / d_eff : 0.0f;
+                    for (int r = 0; r < SUB16; ++r) {
+                        float q = roundf_away(w[(b * SUB16 + r) * n + c] * inv);
+                        q = std::min(31.f, std::max(-32.f, q)) + 32.f;
+                        const uint8_t u = static_cast<uint8_t>(q);
+                        pack_nibble(data, n, b * SUB16 + r, c, u & 0xF);
+                        pack_crumb(data_hi, n, b * SUB16 + r, c, u >> 4);
+                    }
+                }
+            }
+        }
+    });
+}
+
 static void bf16_from_f32(const float* src, uint16_t* dst, int64_t count) {
     parallel_cols(count, [&](int64_t i0, int64_t i1) {
         for (int64_t i = i0; i < i1; ++i) {
@@ -282,6 +337,23 @@ static PyObject* py_quantize_q4_k(PyObject*, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+static PyObject* py_quantize_q6_k(PyObject*, PyObject* args) {
+    PyObject *w_obj, *data_obj, *hi_obj, *ls_obj, *ds_obj;
+    Py_ssize_t k, n;
+    if (!PyArg_ParseTuple(args, "OnnOOOO", &w_obj, &k, &n, &data_obj, &hi_obj,
+                          &ls_obj, &ds_obj)) return nullptr;
+    BufView w(w_obj, PyBUF_C_CONTIGUOUS), d(data_obj, PyBUF_WRITABLE),
+        hi(hi_obj, PyBUF_WRITABLE), ls(ls_obj, PyBUF_WRITABLE),
+        ds(ds_obj, PyBUF_WRITABLE);
+    if (!w.ok || !d.ok || !hi.ok || !ls.ok || !ds.ok) return nullptr;
+    Py_BEGIN_ALLOW_THREADS
+    q6_k(static_cast<const float*>(w.view.buf), k, n,
+         static_cast<uint8_t*>(d.view.buf), static_cast<uint8_t*>(hi.view.buf),
+         static_cast<int8_t*>(ls.view.buf), static_cast<uint16_t*>(ds.view.buf));
+    Py_END_ALLOW_THREADS
+    Py_RETURN_NONE;
+}
+
 static PyObject* py_bf16_from_f32(PyObject*, PyObject* args) {
     PyObject *src_obj, *dst_obj;
     Py_ssize_t count;
@@ -300,6 +372,8 @@ static PyMethodDef methods[] = {
     {"quantize_q4_0", py_quantize_q4_0, METH_VARARGS, "q4_0(w_f32, K, N, packed_u8, scales_u16)"},
     {"quantize_q4_k", py_quantize_q4_k, METH_VARARGS,
      "q4_k(w_f32, K, N, packed_u8, ls_u8, lm_u8, dsup_u16, msup_u16)"},
+    {"quantize_q6_k", py_quantize_q6_k, METH_VARARGS,
+     "q6_k(w_f32, K, N, packed_u8, hi_u8, ls_i8, dsup_u16)"},
     {"bf16_from_f32", py_bf16_from_f32, METH_VARARGS, "bf16_from_f32(src_f32, dst_u16, count)"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from acestep_tpu.quant import BLOCK, SUPER, QuantTensor, dequantize
-from acestep_tpu.quant.formats import FOLD
+from acestep_tpu.quant.formats import FOLD, SUB16
 
 DEFAULT_BM = 256
 DEFAULT_BN = 256
@@ -63,6 +63,14 @@ def _unfold_nibbles(packed, bk: int):
     row = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0)
     r32 = rep.astype(jnp.int32)
     return jnp.where(row < bk // 2, r32 & 0xF, r32 >> 4)
+
+
+def _unfold_crumbs(packed, bk: int):
+    """uint8 [bk/4, BN] (fold-64 2-bit planes) -> int32 [bk, BN] original order."""
+    rep = pltpu.repeat(packed, 4, axis=0)                      # [bk, BN]
+    row = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0)
+    shift = (row // (bk // 4)) * 2
+    return (rep.astype(jnp.int32) >> shift) & 0x3
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +120,25 @@ def _q4_k_kernel(x_ref, w_ref, d_ref, m_ref, o_ref, acc_ref):
 
     q = _unfold_nibbles(w_ref[:], Q4_BK).astype(jnp.float32)
     wd = (q * _expand_rows(d_ref[:], BLOCK) - _expand_rows(m_ref[:], BLOCK)).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _q6_k_kernel(x_ref, w_ref, hi_ref, d_ref, o_ref, acc_ref):
+    """q6_k with pre-expanded effective scales d_eff [BK/16, BN] f32."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo = _unfold_nibbles(w_ref[:], Q4_BK)
+    hi = _unfold_crumbs(hi_ref[:], Q4_BK)
+    q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
+    wd = (q * _expand_rows(d_ref[:], SUB16)).astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
@@ -202,6 +229,20 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
                       s_spec, s_spec],
             **common,
         )(x, qt.data, d_eff, m_eff)
+    elif qt.fmt == "q6_k":
+        sub_per_super = SUPER // SUB16
+        d_eff = _expand_rows(qt.super_scales.astype(jnp.float32), sub_per_super) \
+            * qt.sub_scales.astype(jnp.float32)
+        s16_spec = pl.BlockSpec((bk // SUB16, bn), lambda i, j, k: (k, j),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            _q6_k_kernel,
+            in_specs=[x_spec,
+                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((bk // 4, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      s16_spec],
+            **common,
+        )(x, qt.data, qt.data_hi, d_eff)
     else:
         raise ValueError(f"unsupported quant format: {qt.fmt}")
 

@@ -50,7 +50,7 @@ def _apply_quant_spec(qt: QuantTensor, spec: P, mesh: Mesh) -> QuantTensor:
         return True
 
     if spec != P() and not all(ok(a) for a in (
-        qt.data, qt.scales, qt.sub_scales, qt.sub_mins, qt.super_scales, qt.super_mins
+        qt.data, qt.data_hi, qt.scales, qt.sub_scales, qt.sub_mins, qt.super_scales, qt.super_mins
     ) if a is not None):
         spec = P()  # replicate when block granularity doesn't divide
 
@@ -61,7 +61,7 @@ def _apply_quant_spec(qt: QuantTensor, spec: P, mesh: Mesh) -> QuantTensor:
 
     return QuantTensor(
         fmt=qt.fmt, shape=qt.shape,
-        data=put(qt.data), scales=put(qt.scales),
+        data=put(qt.data), data_hi=put(qt.data_hi), scales=put(qt.scales),
         sub_scales=put(qt.sub_scales), sub_mins=put(qt.sub_mins),
         super_scales=put(qt.super_scales), super_mins=put(qt.super_mins),
     )

@@ -54,6 +54,7 @@ def _spec_tree(params: Any, path: str = "") -> Any:
         return QuantTensor(
             fmt=params.fmt, shape=params.shape,
             data=field_spec(params.data),
+            data_hi=field_spec(params.data_hi),
             scales=field_spec(params.scales),
             sub_scales=field_spec(params.sub_scales),
             sub_mins=field_spec(params.sub_mins),

@@ -9,6 +9,7 @@ from .formats import (
     quantize_np,
     quantize_q4_0_np,
     quantize_q4_k_np,
+    quantize_q6_k_np,
     quantize_q8_0_np,
     supported_format_for,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "quantize_np",
     "quantize_q4_0_np",
     "quantize_q4_k_np",
+    "quantize_q6_k_np",
     "quantize_q8_0_np",
     "supported_format_for",
 ]

@@ -18,6 +18,9 @@ Supported formats
   q4_0  : 32-elem blocks, fp16 scale, 4-bit offset-8 values.        4.5  bpw
   q4_k  : 256-elem super-blocks, 6-bit sub-scales/mins (stored as
           uint8 here), fp16 super scale/min, 4-bit values.          ~4.63 bpw
+  q6_k  : 256-elem super-blocks of 16x16, int8 sub-scales, fp16
+          super scale, 6-bit offset-32 values (low nibble + 2-bit
+          high planes).                                             ~6.56 bpw
 
 Quantization math is verified against the reference formulas in tests/test_quant.py.
 """
@@ -33,15 +36,17 @@ import jax.numpy as jnp
 import numpy as np
 
 BLOCK = 32       # elements per quant block (scale granularity)
-SUPER = 256      # elements per super-block (q4_k)
+SUPER = 256      # elements per super-block (q4_k / q6_k)
+SUB16 = 16       # q6_k sub-block (16 sub-blocks of 16 per super-block)
 
-QUANT_FORMATS = ("q8_0", "q4_0", "q4_k")
+QUANT_FORMATS = ("q8_0", "q4_0", "q4_k", "q6_k")
 ALL_FORMATS = ("f32", "bf16", "f16") + QUANT_FORMATS
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["data", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"],
+    data_fields=["data", "data_hi", "scales", "sub_scales", "sub_mins",
+                 "super_scales", "super_mins"],
     meta_fields=["fmt", "shape"],
 )
 @dataclasses.dataclass
@@ -50,23 +55,28 @@ class QuantTensor:
 
     ``data`` packing depends on ``fmt``:
       q8_0: int8  [K, N]
-      q4_0: uint8 [K//2, N]  (even k in low nibble, odd k in high nibble)
+      q4_0: uint8 [K//2, N]  (fold-256 nibble packing)
       q4_k: uint8 [K//2, N]  (same nibble packing; values are unsigned 0..15)
+      q6_k: uint8 [K//2, N]  low 4 bits (fold-256 nibbles) + ``data_hi``
+            uint8 [K//4, N] high 2 bits (fold-64 crumb packing)
     """
 
     fmt: str
     shape: Tuple[int, int]                  # logical (K, N)
     data: jax.Array
+    data_hi: Optional[jax.Array] = None      # q6_k: uint8 [K//4, N] (2-bit planes)
     scales: Optional[jax.Array] = None       # q8_0/q4_0: f16 [K//32, N]
-    sub_scales: Optional[jax.Array] = None   # q4_k: uint8 [K//32, N] (6-bit ls)
+    sub_scales: Optional[jax.Array] = None   # q4_k: uint8 [K//32, N] (6-bit ls);
+                                             # q6_k: int8 [K//16, N]
     sub_mins: Optional[jax.Array] = None     # q4_k: uint8 [K//32, N] (6-bit lm)
-    super_scales: Optional[jax.Array] = None  # q4_k: f16 [K//256, N]
+    super_scales: Optional[jax.Array] = None  # q4_k/q6_k: f16 [K//256, N]
     super_mins: Optional[jax.Array] = None    # q4_k: f16 [K//256, N]
 
     @property
     def nbytes(self) -> int:
         total = 0
-        for f in ("data", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"):
+        for f in ("data", "data_hi", "scales", "sub_scales", "sub_mins",
+                  "super_scales", "super_mins"):
             a = getattr(self, f)
             if a is not None:
                 total += a.size * a.dtype.itemsize
@@ -208,10 +218,73 @@ def quantize_q4_k_np(w: np.ndarray) -> QuantTensor:
     )
 
 
+def _pack_crumbs(q: np.ndarray) -> np.ndarray:
+    """Pack 2-bit values [K, N] -> uint8 [K//4, N] with fold-64 layout:
+    packed[g*64 + r] holds rows g*256 + {0,64,128,192} + r in bit pairs
+    0-1 / 2-3 / 4-5 / 6-7 (the 2-bit analog of the fold-256 nibble pack —
+    unpacks in a Pallas kernel with one 4x tile-repeat + row-quarter shift)."""
+    k, n = q.shape
+    assert k % FOLD == 0, f"2-bit packing requires K % {FOLD} == 0, got {k}"
+    q = q.astype(np.uint8).reshape(k // FOLD, 4, FOLD // 4, n)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)).reshape(
+        k // 4, n).astype(np.uint8)
+
+
+def _unpack_crumbs_np(packed: np.ndarray) -> np.ndarray:
+    k4, n = packed.shape
+    k = k4 * 4
+    p = packed.reshape(k // FOLD, FOLD // 4, n)
+    parts = [(p >> (2 * j)) & 0x3 for j in range(4)]
+    return np.concatenate(parts, axis=1).reshape(k, n).astype(np.uint8)
+
+
+def quantize_q6_k_np(w: np.ndarray) -> QuantTensor:
+    """Symmetric 6-bit with int8 sub-scales (Q6_K-class; the reference's
+    quantize_row_q6_K uses 16-elem sub-blocks with int8 scales against an fp16
+    super scale — same structure here, with the straightforward round-to-
+    nearest scale fit instead of ggml's iterative make_qx_quants search).
+
+    Per 16-block:   x ~= d_eff * (q - 32),  q in [0, 63]
+    Per 256-super:  d_eff = d_super * ls   (ls int8)
+    """
+    k, n = _check_2d(w)
+    if k % SUPER:
+        raise ValueError(f"q6_k requires K % {SUPER} == 0, got K={k}")
+    w = w.astype(np.float32)
+    nb = k // SUB16
+    ns = k // SUPER
+    blocks = w.reshape(nb, SUB16, n)
+
+    # signed absmax per 16-block -> d_b so that q = x/d_b lands in [-32, 31]
+    idx = np.abs(blocks).argmax(axis=1)
+    signed_max = np.take_along_axis(blocks, idx[:, None, :], axis=1)[:, 0, :]
+    d_b = signed_max / -32.0                                # [nb, N]
+
+    d_sup = np.abs(d_b).reshape(ns, SUPER // SUB16, n).max(axis=1) / 127.0
+    d_sup_rep = np.repeat(d_sup, SUPER // SUB16, axis=0)
+    ls = np.where(d_sup_rep > 0,
+                  _roundf(d_b / np.maximum(d_sup_rep, 1e-30)), 0.0)
+    ls = ls.clip(-127, 127).astype(np.int8)
+
+    d_eff = d_sup_rep * ls
+    inv = np.where(d_eff != 0, 1.0 / np.where(d_eff == 0, 1.0, d_eff), 0.0)
+    q = (_roundf(blocks * inv[:, None, :]).clip(-32.0, 31.0) + 32.0).astype(np.uint8)
+    q = q.reshape(k, n)
+    return QuantTensor(
+        fmt="q6_k",
+        shape=(k, n),
+        data=jnp.asarray(_pack_nibbles(q & 0xF)),
+        data_hi=jnp.asarray(_pack_crumbs(q >> 4)),
+        sub_scales=jnp.asarray(ls),
+        super_scales=jnp.asarray(d_sup.astype(np.float16)),
+    )
+
+
 _QUANTIZERS = {
     "q8_0": quantize_q8_0_np,
     "q4_0": quantize_q4_0_np,
     "q4_k": quantize_q4_k_np,
+    "q6_k": quantize_q6_k_np,
 }
 
 
@@ -226,8 +299,8 @@ def supported_format_for(k: int, fmt: str) -> str:
     fallback for tensors whose row size is not a multiple of the block size)."""
     if fmt in ("f32", "bf16", "f16"):
         return fmt
-    if fmt in ("q4_k", "q4_0"):
-        if k % FOLD == 0:          # 4-bit fold packing needs K % 256 == 0
+    if fmt in ("q4_k", "q4_0", "q6_k"):
+        if k % FOLD == 0:          # 4/6-bit fold packing needs K % 256 == 0
             return fmt
         fmt = "q8_0"
     if k % BLOCK == 0:
@@ -246,6 +319,14 @@ def _unpack_nibbles(packed: jax.Array, k: int) -> jax.Array:
     lo = p & 0xF
     hi = p >> 4
     return jnp.concatenate([lo, hi], axis=1).reshape(k, n)
+
+
+def _unpack_crumbs(packed: jax.Array, k: int) -> jax.Array:
+    """uint8 [K//4, N] -> [K, N] (fold-64 layout, see _pack_crumbs)."""
+    n = packed.shape[1]
+    p = packed.reshape(k // FOLD, FOLD // 4, n)
+    parts = [(p >> (2 * j)) & 0x3 for j in range(4)]
+    return jnp.concatenate(parts, axis=1).reshape(k, n)
 
 
 def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
@@ -268,6 +349,13 @@ def dequantize(qt: QuantTensor, dtype=jnp.bfloat16) -> jax.Array:
                  * qt.sub_mins.astype(jnp.float32))
         w = q * jnp.repeat(d_eff, BLOCK, axis=0) - jnp.repeat(m_eff, BLOCK, axis=0)
         return w.astype(dtype)
+    if qt.fmt == "q6_k":
+        lo = _unpack_nibbles(qt.data, k).astype(jnp.int32)
+        hi = _unpack_crumbs(qt.data_hi, k).astype(jnp.int32)
+        q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
+        d_eff = (jnp.repeat(qt.super_scales.astype(jnp.float32), SUPER // SUB16, axis=0)
+                 * qt.sub_scales.astype(jnp.float32))
+        return (q * jnp.repeat(d_eff, SUB16, axis=0)).astype(dtype)
     raise ValueError(f"unknown quant format: {qt.fmt}")
 
 

@@ -14,7 +14,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from .formats import BLOCK, FOLD, SUPER, QuantTensor
+from .formats import BLOCK, FOLD, SUB16, SUPER, QuantTensor
 from .convert import default_policy
 
 
@@ -80,6 +80,36 @@ def _quantize_q4_k_dev(w: jax.Array):
     return _pack_fold(q.reshape(k, n)), ls, lm, d_sup.astype(jnp.float16), m_sup.astype(jnp.float16)
 
 
+def _pack_fold_crumbs(q: jax.Array) -> jax.Array:
+    """2-bit values [K, N] -> fold-64 packed [K//4, N] (formats._pack_crumbs)."""
+    k, n = q.shape
+    g = q.reshape(k // FOLD, 4, FOLD // 4, n)
+    return (g[:, 0] | (g[:, 1] << 2) | (g[:, 2] << 4) | (g[:, 3] << 6)).reshape(
+        k // 4, n).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=())
+def _quantize_q6_k_dev(w: jax.Array):
+    k, n = w.shape
+    w = w.astype(jnp.float32)
+    nb, ns = k // SUB16, k // SUPER
+    blocks = w.reshape(nb, SUB16, n)
+    idx = jnp.argmax(jnp.abs(blocks), axis=1)
+    signed_max = jnp.take_along_axis(blocks, idx[:, None, :], axis=1)[:, 0, :]
+    d_b = signed_max / -32.0
+    sub = SUPER // SUB16
+    d_sup = jnp.max(jnp.abs(d_b).reshape(ns, sub, n), axis=1) / 127.0
+    d_rep = jnp.repeat(d_sup, sub, axis=0)
+    ls = jnp.clip(jnp.where(d_rep > 0, _roundf(d_b / jnp.maximum(d_rep, 1e-30)), 0),
+                  -127, 127).astype(jnp.int8)
+    d_eff = d_rep * ls
+    inv = jnp.where(d_eff != 0, 1.0 / jnp.where(d_eff == 0, 1.0, d_eff), 0.0)
+    q = (jnp.clip(_roundf(blocks * inv[:, None, :]), -32, 31) + 32).astype(jnp.uint8)
+    q = q.reshape(k, n)
+    return (_pack_fold(q & 0xF), _pack_fold_crumbs(q >> 4), ls,
+            d_sup.astype(jnp.float16))
+
+
 def quantize_jax(w: jax.Array, fmt: str) -> QuantTensor:
     k, n = w.shape
     if fmt == "q8_0":
@@ -92,6 +122,10 @@ def quantize_jax(w: jax.Array, fmt: str) -> QuantTensor:
         data, ls, lm, ds, ms = _quantize_q4_k_dev(w)
         return QuantTensor(fmt="q4_k", shape=(k, n), data=data, sub_scales=ls,
                            sub_mins=lm, super_scales=ds, super_mins=ms)
+    if fmt == "q6_k":
+        data, data_hi, ls, ds = _quantize_q6_k_dev(w)
+        return QuantTensor(fmt="q6_k", shape=(k, n), data=data, data_hi=data_hi,
+                           sub_scales=ls, super_scales=ds)
     raise ValueError(f"unknown quant format: {fmt}")
 
 

@@ -30,6 +30,15 @@ def quantize_native(w: np.ndarray, fmt: str) -> QuantTensor:
         nat.quantize_q4_0(w, k, n, data, scales)
         return QuantTensor(fmt="q4_0", shape=(k, n), data=jnp.asarray(data),
                            scales=jnp.asarray(scales.view(np.float16)))
+    if fmt == "q6_k" and k % SUPER == 0 and hasattr(nat, "quantize_q6_k"):
+        data = np.empty((k // 2, n), np.uint8)
+        hi = np.empty((k // 4, n), np.uint8)
+        ls = np.empty((k // 16, n), np.int8)
+        ds = np.empty((k // SUPER, n), np.uint16)
+        nat.quantize_q6_k(w, k, n, data, hi, ls, ds)
+        return QuantTensor(fmt="q6_k", shape=(k, n), data=jnp.asarray(data),
+                           data_hi=jnp.asarray(hi), sub_scales=jnp.asarray(ls),
+                           super_scales=jnp.asarray(ds.view(np.float16)))
     if fmt == "q4_k" and k % SUPER == 0:
         data = np.empty((k // 2, n), np.uint8)
         ls = np.empty((k // BLOCK, n), np.uint8)

@@ -197,7 +197,7 @@ def run_wizard(args):
     duration = float(ask("Duration seconds", str(cfg.get("duration", 30))))
     seed = int(ask("Seed", str(cfg.get("seed", 0))))
     out = ask("Output wav", cfg.get("out", "output.wav"))
-    quant = ask("Quant (bf16/q8_0/q4_0/q4_k)", cfg.get("quant", "q8_0"))
+    quant = ask("Quant (bf16/q8_0/q4_0/q4_k/q6_k)", cfg.get("quant", "q8_0"))
 
     argv = ["--pipeline", "--audio-seconds", str(duration), "--seed", str(seed),
             "--out", out, "--quant", quant]

@@ -8,7 +8,7 @@ import pytest
 from acestep_tpu.quant import quantize_jax, quantize_np
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_matches_numpy_quantizer(fmt):
     rng = np.random.default_rng(0)
     w = rng.standard_normal((512, 128)).astype(np.float32) * 0.07

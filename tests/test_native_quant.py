@@ -12,13 +12,13 @@ nat = get_native()
 pytestmark = pytest.mark.skipif(nat is None, reason="native toolchain unavailable")
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 def test_matches_numpy(fmt):
     rng = np.random.default_rng(0)
     w = (rng.standard_normal((512, 96)) * 0.07).astype(np.float32)
     a = quantize_np(w, fmt)
     b = quantize_native(w, fmt)
-    for f in ("data", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"):
+    for f in ("data", "data_hi", "scales", "sub_scales", "sub_mins", "super_scales", "super_mins"):
         av, bv = getattr(a, f), getattr(b, f)
         assert (av is None) == (bv is None), f
         if av is not None:

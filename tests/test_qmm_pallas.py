@@ -25,7 +25,7 @@ def _xla_ref(x, qt):
         .astype(jnp.bfloat16), dtype=np.float32)
 
 
-@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k"])
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
 @pytest.mark.parametrize("m,k,n", [(64, 512, 256), (100, 1024, 384 * 0 + 256), (7, 512, 128)])
 def test_kernel_matches_xla_path(fmt, m, k, n):
     x, qt = _pair(fmt, k, n, m)

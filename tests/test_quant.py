@@ -114,6 +114,56 @@ class TestQ4K:
         assert rmse < rmse0  # asymmetric q4_k beats q4_0 at the same 4-bit width
 
 
+class TestQ6K:
+    def test_exact_formula_single_super(self):
+        """Per 16-block: d_b = signed_absmax/-32; super d = max|d_b|/127;
+        ls = round(d_b/d); q = round(x/(d*ls)) in [-32, 31] stored +32
+        (ggml quantize_row_q6_K structure: 16x16 sub-blocks, int8 scales)."""
+        w = _rand(SUPER, 4, seed=11, scale=0.3)
+        qt = quantize_np(w, "q6_k")
+        assert qt.data.shape == (SUPER // 2, 4)
+        assert qt.data_hi.shape == (SUPER // 4, 4)
+        assert qt.sub_scales.shape == (SUPER // 16, 4)
+        assert np.asarray(qt.sub_scales).dtype == np.int8
+        # hand-check block 0, column 0
+        col = w[:16, 0]
+        i = np.abs(col).argmax()
+        d_b = col[i] / -32.0
+        ds = np.asarray(qt.super_scales, np.float32)[0, 0]
+        ls = np.asarray(qt.sub_scales)[0, 0]
+        assert abs(ls - np.trunc(d_b / ds + np.copysign(0.5, d_b / ds))) <= 1
+        rec = dequantize_np(qt)
+        # the absmax element reconstructs within one 6-bit step
+        assert abs(rec[i, 0] - col[i]) <= abs(d_b * ls) * (1.0 + 1e-3) + 1e-6
+
+    def test_roundtrip_error_between_q8_and_q4(self):
+        w = _rand(SUPER * 4, 128, seed=12)
+        r8 = np.sqrt(((dequantize_np(quantize_np(w, "q8_0")) - w) ** 2).mean())
+        r6 = np.sqrt(((dequantize_np(quantize_np(w, "q6_k")) - w) ** 2).mean())
+        r4 = np.sqrt(((dequantize_np(quantize_np(w, "q4_k")) - w) ** 2).mean())
+        assert r8 < r6 < r4
+        # 64-level quant of N(0,1): step ~ 2sigma*... budget ~0.025
+        assert r6 < 0.03
+
+    def test_bpw(self):
+        qt = quantize_np(_rand(SUPER * 4, 128, seed=13), "q6_k")
+        assert abs(qt.bits_per_weight - 6.5625) < 0.01
+
+    def test_crumb_packing_order(self):
+        from acestep_tpu.quant.formats import _pack_crumbs, _unpack_crumbs_np
+        rng = np.random.default_rng(14)
+        q = rng.integers(0, 4, (512, 8)).astype(np.uint8)
+        assert np.array_equal(_unpack_crumbs_np(_pack_crumbs(q)), q)
+
+    def test_zero_and_constant_blocks(self):
+        w = np.zeros((SUPER, 8), np.float32)
+        rec = dequantize_np(quantize_np(w, "q6_k"))
+        assert np.abs(rec).max() == 0.0
+        w2 = np.full((SUPER, 8), -0.25, np.float32)
+        rec2 = dequantize_np(quantize_np(w2, "q6_k"))
+        assert np.abs(rec2 - w2).max() < 0.01
+
+
 class TestInfra:
     def test_pytree_roundtrip(self):
         qt = quantize_np(_rand(SUPER, 16), "q4_k")

@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--text")
     ap.add_argument("--lm")
     ap.add_argument("--out", required=True)
-    ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k"])
+    ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k", "q6_k"])
     ap.add_argument("--lm-quant", default=None, help="override quant for the LM")
     args = ap.parse_args()
 

@@ -26,7 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="reports/quant_eval")
     ap.add_argument("--duration", type=float, default=10.0)
-    ap.add_argument("--formats", default="q8_0,q4_0,q4_k")
+    ap.add_argument("--formats", default="q8_0,q4_0,q4_k,q6_k")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
