@@ -59,6 +59,23 @@ def tree_bytes(params: Any) -> int:
     return sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(params))
 
 
+def dequant_bf16_bytes(params: Any) -> int:
+    """Transient bf16 copy size if XLA hoists the dequant of every QuantTensor
+    (the cost of the "xla" qmm backend; zero for unquantized trees)."""
+    import jax
+
+    from acestep_tpu.quant import QuantTensor
+
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QuantTensor)
+    ):
+        if isinstance(leaf, QuantTensor):
+            k, n = leaf.shape
+            total += 2 * k * n
+    return total
+
+
 def dit_activation_bytes(cfg: DiTConfig, batch: int, frames: int) -> int:
     """Peak activation estimate for one DiT forward at bf16.
 
@@ -101,6 +118,7 @@ class Plan:
     fits: bool
     detail: Dict[str, int]
     vae_window_batch: int = 4
+    dit_qmm_backend: str = "pallas"   # "xla" when the bf16 dequant copy fits
 
 
 def plan_request(
@@ -110,6 +128,7 @@ def plan_request(
     batch: int,
     frames: int,
     hbm_bytes: Optional[int] = None,
+    dit_bf16_bytes: int = 0,
 ) -> Plan:
     """Clamp batch / VAE chunk so the request fits in HBM (admission control)."""
     hbm = hbm_bytes if hbm_bytes is not None else detect_hbm_bytes()
@@ -120,11 +139,22 @@ def plan_request(
         b -= 1
     dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
 
+    # qmm backend for this bucket: XLA-dequant (faster; hoists dequant out of
+    # the 8-step scan) when the transient bf16 weight copy fits on top of the
+    # activations with 1 GiB to spare, else the fused Pallas streaming path
+    qmm_backend = (
+        "xla"
+        if dit_bf16_bytes and budget - dit_bytes >= dit_bf16_bytes + GiB
+        else "pallas"
+    )
+
     vae_budget = budget - 0  # VAE runs after diffusion; latents are small
     per_frame = vae_decode_bytes_per_frame(vae_cfg) * b
-    # 128 is the engine's proven decode chunk (compile-shape stability); halve
-    # only under tight budgets (reference auto-sizes 512->64, handler.py:1217)
-    chunk = 128
+    # start at the reference's auto chunk (512, handler.py:1217) and halve
+    # under tight budgets; large chunks matter on TPU because each decode
+    # dispatch costs a host roundtrip (a 600 s song at chunk 128 is ~230
+    # dispatches — the measured round-2 VAE-phase dominator on the dev tunnel)
+    chunk = 512
     while chunk > 16 and chunk * per_frame > vae_budget:
         chunk //= 2
     # stacked decode windows multiply the per-chunk activation; total decoded
@@ -140,6 +170,7 @@ def plan_request(
         vae_chunk_frames=chunk,
         vae_window_batch=wb,
         fits=fits,
+        dit_qmm_backend=qmm_backend,
         detail={
             "hbm_bytes": hbm,
             "param_bytes": param_bytes,

@@ -18,6 +18,7 @@ converter).  Weight-norm is folded at conversion time.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -308,6 +309,21 @@ _jit_to_int16 = jax.jit(
     ).astype(jnp.int16)
 )
 
+
+def _host_fetch(supers) -> np.ndarray:
+    """Fetch device audio pieces to host, int16-quantized at the global peak
+    scale when ACESTEP_TPU_D2H_INT16 != 0 (the result is peak-normalized to
+    16-bit WAV downstream, so nothing the output keeps is lost — and 4x fewer
+    bytes cross d2h)."""
+    import os as _os
+
+    if _os.environ.get("ACESTEP_TPU_D2H_INT16", "1") != "0":
+        peak = max(float(jax.device_get(_jit_absmax(s))) for s in supers)
+        scale = np.float32(32767.0 / max(peak, 1e-12))
+        parts = jax.device_get([_jit_to_int16(s, jnp.float32(scale)) for s in supers])
+        return np.concatenate(parts, axis=1).astype(np.float32) / scale
+    return np.concatenate(jax.device_get(supers), axis=1)
+
 def tiled_decode(
     params: Params,
     cfg: VAEConfig,
@@ -328,23 +344,12 @@ def tiled_decode(
         jitted = jax.jit(lambda p, lat: decode(p, cfg, lat))
         decode_fn = lambda lat: jitted(params, lat)
     if chunk_frames <= 0 or chunk_frames >= t:
+        if host_assemble:
+            return _host_fetch([decode_fn(latents)])
         return decode_fn(latents)
 
-    if overlap_frames is None:
-        overlap_frames = min(64, max(1, chunk_frames // 4))
-    if overlap_frames * 2 >= chunk_frames:
-        overlap_frames = max(0, chunk_frames // 2 - 1)
-    stride = chunk_frames - 2 * overlap_frames
-    if stride <= 0:
-        overlap_frames, stride = 0, chunk_frames
-
     # window plan (same bounds/trim semantics as the C++ loop)
-    windows = []
-    for core_start in range(0, t, stride):
-        core_end = min(core_start + stride, t)
-        win_start = max(0, core_start - overlap_frames)
-        win_end = min(t, core_end + overlap_frames)
-        windows.append((core_start, core_end, win_start, win_end))
+    windows = _window_plan(t, chunk_frames, overlap_frames)
 
     # TPU-native: decode all SAME-SIZE windows as one batched call (the
     # reference loops per window / per sample; batching the interior windows
@@ -419,20 +424,99 @@ def tiled_decode(
         jnp.concatenate(pieces[s0:s0 + SUPER], axis=1)
         for s0 in range(0, len(pieces), SUPER)
     ]
-    # int16 d2h transfer (default on): the result is peak-normalized to 16-bit
-    # WAV downstream, so quantizing at the song's global peak on DEVICE loses
-    # nothing the output keeps — and moves 4x fewer bytes over d2h (the
-    # dominant VAE-phase term through the dev tunnel: ~230 MB f32 at 600 s)
-    if _os.environ.get("ACESTEP_TPU_D2H_INT16", "1") != "0":
-        peak = max(
-            float(jax.device_get(_jit_absmax(s))) for s in supers
-        )
-        scale = _np.float32(32767.0 / max(peak, 1e-12))
-        parts = jax.device_get(
-            [_jit_to_int16(s, jnp.float32(scale)) for s in supers]
-        )
-        return _np.concatenate(parts, axis=1).astype(_np.float32) / scale
-    return _np.concatenate(jax.device_get(supers), axis=1)
+    return _host_fetch(supers)
+
+
+def _window_plan(t: int, chunk_frames: int, overlap_frames: Optional[int]):
+    """Static overlap-discard window plan (same semantics as tiled_decode)."""
+    if overlap_frames is None:
+        overlap_frames = min(64, max(1, chunk_frames // 4))
+    if overlap_frames * 2 >= chunk_frames:
+        overlap_frames = max(0, chunk_frames // 2 - 1)
+    stride = chunk_frames - 2 * overlap_frames
+    if stride <= 0:
+        overlap_frames, stride = 0, chunk_frames
+    windows = []
+    for core_start in range(0, t, stride):
+        core_end = min(core_start + stride, t)
+        win_start = max(0, core_start - overlap_frames)
+        win_end = min(t, core_end + overlap_frames)
+        windows.append((core_start, core_end, win_start, win_end))
+    return windows
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk_frames", "overlap_frames", "max_window_batch"),
+)
+def fused_tiled_decode_int16(
+    params: Params,
+    cfg: VAEConfig,
+    latents: jax.Array,              # [B, T, 64]
+    chunk_frames: int = 512,
+    overlap_frames: Optional[int] = None,
+    max_window_batch: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """The WHOLE tiled decode as one jitted program: window slicing, per-window
+    decode, overlap trim, concat, global peak, and int16 quantization at the
+    peak scale — returning (audio_i16 [B, L, C], scale []).
+
+    One device dispatch + one host fetch replace the per-window dispatch loop:
+    through the dev tunnel each synced dispatch costs ~30 ms, which made the
+    chunked loop (230 windows at 600 s) the dominant VAE-phase term.  Window
+    semantics match tiled_decode/the C++ runtime (acestep_ggml.cpp:2114-2229);
+    host side divides by ``scale`` to recover float audio at 16-bit-WAV
+    precision (what the output keeps anyway).
+
+    Peak HBM is bounded: same-(size, trim) window groups run through
+    ``lax.map(batch_size=max_window_batch)``, so the decode body is compiled
+    ONCE per group shape, executes sequentially in groups of at most
+    ``max_window_batch`` windows (full-rate conv activations are ~2 GB per
+    640-frame window — stacking all ~38 windows of a 600 s song would OOM),
+    and XLA reuses the activation buffers across iterations."""
+    b, t, c = latents.shape
+    if chunk_frames >= t:
+        pieces = [decode(params, cfg, latents)]
+    else:
+        windows = _window_plan(t, chunk_frames, overlap_frames)
+        # group by (window size, frame trims): interior windows share one
+        # signature; first/last/clipped windows form tiny groups of their own
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for idx, (cs, ce, ws, we) in enumerate(windows):
+            groups[(we - ws, cs - ws, we - ce)].append(idx)
+        decoded: dict = {}
+        for (size, tf0, tf1), idxs in groups.items():
+            if b == 1 and len(idxs) > 1:
+                stacked = jnp.concatenate(
+                    [latents[:, windows[i][2]:windows[i][3], :] for i in idxs],
+                    axis=0,
+                )                                   # [Nw, size, C]
+                audio = jax.lax.map(
+                    lambda x: decode(params, cfg, x[None])[0],
+                    stacked,
+                    batch_size=min(max_window_batch, len(idxs)),
+                )                                   # [Nw, size*ups, Cout]
+                ups = audio.shape[1] / size
+                t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
+                trimmed = audio[:, t0:audio.shape[1] - t1, :]
+                for j, i in enumerate(idxs):
+                    decoded[i] = trimmed[j:j + 1]
+            else:
+                for i in idxs:
+                    ws, we = windows[i][2], windows[i][3]
+                    audio = decode(params, cfg, latents[:, ws:we, :])
+                    ups = audio.shape[1] / size
+                    t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
+                    decoded[i] = audio[:, t0:audio.shape[1] - t1, :]
+        pieces = [decoded[i] for i in range(len(windows))]
+    full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+    full = full.astype(jnp.float32)
+    peak = jnp.max(jnp.abs(full))
+    scale = 32767.0 / jnp.maximum(peak, 1e-12)
+    i16 = jnp.clip(jnp.round(full * scale), -32768.0, 32767.0).astype(jnp.int16)
+    return i16, scale
 
 
 def tiled_encode(

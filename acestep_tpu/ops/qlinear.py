@@ -16,6 +16,8 @@ matmul in f32 via ``preferred_element_type``.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Optional, Union
 
@@ -28,9 +30,26 @@ Weight = Union[jax.Array, QuantTensor]
 
 _BACKEND_ENV = "ACESTEP_TPU_QMM_BACKEND"  # auto | xla | pallas
 
+# trace-time backend override (set by the engine per jit bucket, from the HBM
+# plan): XLA-dequant wins when the transient bf16 weight copy fits — XLA hoists
+# the dequant out of the sampler/decode scans so matmuls run at plain-bf16 MXU
+# speed (measured faster than the fused kernels at every benched shape); the
+# fused Pallas path streams the quantized bytes and never materializes the
+# copy, which is what lets 600 s songs fit.  jit caches are duration-bucketed,
+# so a bucket's first trace captures a consistent choice.
+_trace_backend: contextvars.ContextVar = contextvars.ContextVar(
+    "acestep_qmm_trace_backend", default=None
+)
 
-def _default_backend() -> str:
-    return os.environ.get(_BACKEND_ENV, "auto")
+
+@contextlib.contextmanager
+def trace_backend(backend: Optional[str]):
+    """Set the trace-time qmm backend for jit traces entered in this scope."""
+    token = _trace_backend.set(backend)
+    try:
+        yield
+    finally:
+        _trace_backend.reset(token)
 
 
 def _on_tpu() -> bool:
@@ -41,7 +60,7 @@ def _on_tpu() -> bool:
 
 
 def resolve_backend(backend: Optional[str] = None) -> str:
-    b = backend or _default_backend()
+    b = backend or os.environ.get(_BACKEND_ENV) or _trace_backend.get() or "auto"
     if b == "auto":
         return "pallas" if _on_tpu() else "xla"
     return b

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -173,10 +174,16 @@ class GenerationResult:
 
 
 def _fence(x: jax.Array) -> None:
-    """Force completion of the computation producing x.
+    """Force completion of the computation producing x (for accurate per-phase
+    time_costs).
 
     block_until_ready is unreliable through remote-tunnel backends (returns
-    before execution completes); a 1-element readback is a true fence."""
+    before execution completes); a 1-element readback is a true fence.  Each
+    fence costs one host-device roundtrip (~30 ms on the dev tunnel), so
+    latency-critical callers may disable them with ACESTEP_TPU_PHASE_FENCES=0
+    — phase costs then become enqueue times; the total stays exact."""
+    if os.environ.get("ACESTEP_TPU_PHASE_FENCES", "1") == "0":
+        return
     np.asarray(jax.device_get(x.ravel()[0:1]))
 
 
@@ -388,9 +395,11 @@ class AceStepEngine:
 
         if self._param_bytes is None:
             self._param_bytes = mp.tree_bytes(self.dit_params) + mp.tree_bytes(self.vae_params)
+            self._dit_bf16_bytes = mp.dequant_bf16_bytes(self.dit_params)
         plan = mp.plan_request(
             self.dit_cfg, self.vae_cfg, self._param_bytes, b,
             frames_for_duration(req.duration_s),
+            dit_bf16_bytes=self._dit_bf16_bytes,
         )
         if plan.max_batch < b:
             import warnings
@@ -464,6 +473,14 @@ class AceStepEngine:
             )
 
         t1 = time.perf_counter()
+        # per-bucket qmm backend from the HBM plan: "xla" (dequant hoisted out
+        # of the Euler scan; measured faster at every benched shape) when the
+        # transient bf16 weight copy fits, else the fused Pallas streaming
+        # path.  jit caches are duration-bucketed, so the first trace of each
+        # bucket captures a consistent choice (ops/qlinear.trace_backend).
+        from acestep_tpu.ops import qlinear as _ql
+
+        _qmm_tok = _ql._trace_backend.set(plan.dit_qmm_backend)
         if use_cfg:
             # base-model CFG path (replicated; TP variant is turbo-first)
             if req.uncond_style_token_ids is not None:
@@ -526,6 +543,7 @@ class AceStepEngine:
                 **cover_kwargs,
             )
         _fence(latents)
+        _ql._trace_backend.reset(_qmm_tok)
         time_costs["diffusion_time_cost"] = time.perf_counter() - t1
         time_costs["diffusion_per_step_time_cost"] = (
             time_costs["diffusion_time_cost"] / len(schedule)
@@ -537,20 +555,33 @@ class AceStepEngine:
 
         t2 = time.perf_counter()
         # HBM plan drives the decode chunk (handler.py:1217-1269 VAE chunk
-        # auto-sizing); clamp to [32, 128] so jit caches stay few and chunk
-        # compile shapes are stable
-        vae_chunk = int(min(max(plan.vae_chunk_frames, 32), 128))
-        audio = vae.tiled_decode(
-            self.vae_params, self.vae_cfg, latents_valid,
-            chunk_frames=vae_chunk, overlap_frames=None,  # default: min(64, chunk/4)
-            decode_fn=self._vae_decode_jit,               # (overlap=chunk/2 would clamp
-            max_window_batch=plan.vae_window_batch,       #  stride to 2 -> 125 decodes)
-            host_assemble=True,   # audio goes to numpy anyway; keeps HBM flat
-        )
+        # auto-sizing); clamp to [32, 512] so jit caches stay few and chunk
+        # compile shapes are stable.  When the chunk covers the whole song the
+        # decode is a SINGLE dispatch (frame buckets keep compiles bounded).
+        vae_chunk = int(min(max(plan.vae_chunk_frames, 32), 512))
+        if os.environ.get("ACESTEP_TPU_VAE_FUSED", "1") != "0":
+            # whole tiled decode as ONE jitted program + one fetch that also
+            # carries the latents (per-dispatch/per-fetch roundtrips cost
+            # ~30 ms each through the dev tunnel)
+            i16, scale = vae.fused_tiled_decode_int16(
+                self.vae_params, self.vae_cfg, latents_valid,
+                chunk_frames=vae_chunk,
+                max_window_batch=plan.vae_window_batch,
+            )
+            i16, scale, latents_np = jax.device_get((i16, scale, latents_valid))
+            audio_np = np.asarray(i16, np.float32) / float(scale)
+            latents_np = np.asarray(latents_np, np.float32)
+        else:
+            audio = vae.tiled_decode(
+                self.vae_params, self.vae_cfg, latents_valid,
+                chunk_frames=vae_chunk, overlap_frames=None,
+                decode_fn=self._vae_decode_jit,
+                max_window_batch=plan.vae_window_batch,
+                host_assemble=True,   # audio goes to numpy anyway; keeps HBM flat
+            )
+            audio_np = np.asarray(audio, dtype=np.float32)
+            latents_np = np.asarray(latents_valid, dtype=np.float32)
         time_costs["vae_time_cost"] = time.perf_counter() - t2
-
-        audio_np = np.asarray(audio, dtype=np.float32)
-        latents_np = np.asarray(latents_valid, dtype=np.float32)
         time_costs["total_time_cost"] = time.perf_counter() - t0
 
         return GenerationResult(

@@ -55,19 +55,25 @@ def main():
     build_s = time.perf_counter() - t0
     log(f"engine built in {build_s:.1f}s; warmup generate (compiles)...")
 
-    # warmup (compile)
+    # warmup (compile) — fenced, so its phase breakdown is accurate
     res = engine.generate(req)
     warm_s = res.time_costs["total_time_cost"]
     log(f"warmup done in {warm_s:.1f}s: {res.time_costs}")
+    fenced = engine.generate(req)                  # warm fenced run for detail
+    log(f"fenced warm run: {fenced.time_costs}")
 
-    # timed runs
+    # timed runs: phase fences off — each fence is a host-device roundtrip
+    # (~30 ms on the dev tunnel) that is pure measurement overhead; the
+    # total_time_cost stays exact (the audio fetch is the closing sync)
+    os.environ["ACESTEP_TPU_PHASE_FENCES"] = "0"
     runs = []
     for i in range(3):
         req.seeds = [i + 2]
         res = engine.generate(req)
         runs.append(res.time_costs["total_time_cost"])
-        log(f"run {i}: {res.time_costs}")
+        log(f"run {i}: total {res.time_costs['total_time_cost']:.4f}s")
     value = float(np.median(runs))
+    res = fenced
 
     result = {
         "metric": "seconds per 10s clip, text2music E2E (text-enc + 8-step DiT + VAE), Q8_0, batch=1",

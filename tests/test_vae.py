@@ -166,6 +166,50 @@ class TestEndToEnd:
         lsb = np.abs(f32).max() / 32767.0
         assert np.abs(i16 - f32).max() <= lsb * 0.51  # round-to-nearest
 
+    def test_fused_tiled_decode_matches_tiled(self, setup):
+        """The single-dispatch fused program must reproduce the chunked loop
+        (same window plan) within one int16 LSB of the peak."""
+        params = setup
+        t = 96
+        lat = jnp.asarray(np.random.default_rng(6).standard_normal(
+            (1, t, TINY.decoder_input_channels)), jnp.float32)
+        ref = np.asarray(vae.tiled_decode(params, TINY, lat,
+                                          chunk_frames=60, overlap_frames=20))
+        i16, scale = vae.fused_tiled_decode_int16(
+            params, TINY, lat, chunk_frames=60, overlap_frames=20)
+        out = np.asarray(i16, np.float32) / float(scale)
+        assert out.shape == ref.shape
+        lsb = np.abs(ref).max() / 32767.0
+        assert np.abs(out - ref).max() <= lsb * 0.51
+
+    def test_fused_decode_many_windows_bounded_batch(self, setup):
+        """Many interior windows through lax.map with a small window batch
+        (incl. a remainder chunk) must still match the reference loop."""
+        params = setup
+        t = 160
+        lat = jnp.asarray(np.random.default_rng(7).standard_normal(
+            (1, t, TINY.decoder_input_channels)), jnp.float32)
+        ref = np.asarray(vae.tiled_decode(params, TINY, lat,
+                                          chunk_frames=40, overlap_frames=8))
+        i16, scale = vae.fused_tiled_decode_int16(
+            params, TINY, lat, chunk_frames=40, overlap_frames=8,
+            max_window_batch=2)
+        out = np.asarray(i16, np.float32) / float(scale)
+        assert out.shape == ref.shape
+        lsb = np.abs(ref).max() / 32767.0
+        assert np.abs(out - ref).max() <= lsb * 0.51
+
+    def test_fused_decode_full_path_when_chunk_covers(self, setup):
+        params = setup
+        lat = jnp.asarray(np.random.default_rng(8).standard_normal(
+            (2, 40, TINY.decoder_input_channels)), jnp.float32)
+        full = np.asarray(vae.decode(params, TINY, lat))
+        i16, scale = vae.fused_tiled_decode_int16(params, TINY, lat,
+                                                  chunk_frames=512)
+        out = np.asarray(i16, np.float32) / float(scale)
+        lsb = np.abs(full).max() / 32767.0
+        assert np.abs(out - full).max() <= lsb * 0.51
+
     def test_tiled_decode_insufficient_overlap_has_seams(self, setup):
         """Sanity check on the probe: small overlap must NOT match — guards against
         the comparison accidentally passing for trivial reasons."""
