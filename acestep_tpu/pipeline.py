@@ -568,7 +568,17 @@ class AceStepEngine:
                 chunk_frames=vae_chunk,
                 max_window_batch=plan.vae_window_batch,
             )
+            _fence(scale)   # scale depends on ALL audio: a true decode fence
+            time_costs["vae_compute_time_cost"] = time.perf_counter() - t2
+            # the audio fetch is d2h-bound, not TPU-bound: ~115 MB int16 at
+            # 600 s costs ~18 s through the ~6 MB/s dev tunnel vs ~10 ms over
+            # PCIe on a real host — report it separately so the compute number
+            # is comparable across hosts
             i16, scale, latents_np = jax.device_get((i16, scale, latents_valid))
+            time_costs["audio_fetch_time_cost"] = (
+                time.perf_counter() - t2
+                - time_costs["vae_compute_time_cost"]
+            )
             audio_np = np.asarray(i16, np.float32) / float(scale)
             latents_np = np.asarray(latents_np, np.float32)
         else:
