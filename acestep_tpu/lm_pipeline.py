@@ -356,6 +356,13 @@ class LMPipeline:
         # body instead of num_hidden_layers inlined copies
         if stack_layers and isinstance(params.get("layers"), list):
             params = _qwen.stack_params(params)
+        # tied-embedding quantized models get a quantized lm_head copy so the
+        # decode scan never streams the full bf16 embed matrix (serving/lm.py)
+        params = lm_serving.ensure_quantized_head(params)
+        # fuse q||k||v and gate||up (4 matmul kernels/layer instead of 7 —
+        # batch-1 decode is launch-bound, and the fusion is numerically exact)
+        if os.environ.get("ACESTEP_TPU_LM_FUSE", "1") != "0":
+            params = lm_serving.fuse_serving_params(params)
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer

@@ -101,8 +101,13 @@ def attention_block(
 
 
 def mlp_block(p: Params, x: jax.Array) -> jax.Array:
-    gate = linear(x, p["gate_proj"]["kernel"])
-    up = linear(x, p["up_proj"]["kernel"])
+    if "gateup_proj" in p:        # serving-fused gate||up (one weight stream)
+        gu = linear(x, p["gateup_proj"]["kernel"])
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = linear(x, p["gate_proj"]["kernel"])
+        up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     return linear(act, p["down_proj"]["kernel"])
 
@@ -168,7 +173,12 @@ def lm_logits(params: Params, cfg: QwenConfig, hidden: jax.Array) -> jax.Array:
     """Project final hidden states to vocab logits (tied embeddings by default)."""
     head = params.get("lm_head")
     if head is not None:
-        return linear(hidden, head["kernel"])
+        logits = linear(hidden, head["kernel"])
+        # serving pads the head's vocab axis to a lane multiple (serving/lm.py
+        # ensure_quantized_head); drop the pad columns
+        if logits.shape[-1] != cfg.vocab_size:
+            logits = logits[..., : cfg.vocab_size]
+        return logits
     emb = params["embed_tokens"]
     return jnp.dot(
         hidden.astype(jnp.bfloat16),

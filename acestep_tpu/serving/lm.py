@@ -54,6 +54,50 @@ def _mm_cast(x: jax.Array, dtype) -> jax.Array:
     return x.astype(dtype)
 
 
+def attention_int8_self(
+    q: jax.Array,                  # [B, Hq, 1, D] (bf16/f32, post-RoPE)
+    kq: jax.Array,                 # [B, Hkv, T, D] int8 (cache, read-only)
+    ks: jax.Array,                 # [B, Hkv, T] f32
+    vq: jax.Array,                 # [B, Hkv, T, D] int8
+    vs: jax.Array,                 # [B, Hkv, T] f32
+    bias: jax.Array,               # [B, 1, T] additive f32 (pos < length valid)
+    k_self: jax.Array,             # [B, Hkv, D] this token's K (unquantized)
+    v_self: jax.Array,             # [B, Hkv, D] this token's V
+) -> jax.Array:
+    """Single-token GQA attention over the int8 cache PLUS an explicit
+    self-term for the current token, so the decode layer scan never writes the
+    cache (writes happen once per step after the scan — serving profile showed
+    per-layer cache scatters force full-cache copies on TPU)."""
+    import math as _math
+
+    b, hq, tq, d = q.shape
+    hkv = kq.shape[1]
+    rep = hq // hkv
+    dtype = q.dtype
+    scale = 1.0 / _math.sqrt(d)
+
+    qg = q.reshape(b, hkv, rep, tq, d)
+    s = jnp.einsum(
+        "bgrqd,bgtd->bgrqt", _mm_cast(qg, dtype), _mm_cast(kq, dtype),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s * ks[:, :, None, None, :]
+    s = s + bias[:, None, None, :, :].astype(jnp.float32)
+    s_self = jnp.einsum(
+        "bgrqd,bgd->bgrq", _mm_cast(qg, jnp.float32), k_self.astype(jnp.float32),
+    )[..., None] * scale                                  # [B,g,r,1,1]
+    s = jnp.concatenate([s, s_self], axis=-1)
+    p = jax.nn.softmax(s, axis=-1)
+    p_cache, p_self = p[..., :-1], p[..., -1:]
+    p_cache = p_cache * vs[:, :, None, None, :]
+    out = jnp.einsum(
+        "bgrqt,bgtd->bgrqd", _mm_cast(p_cache.astype(dtype), dtype), _mm_cast(vq, dtype),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + p_self * v_self.astype(jnp.float32)[:, :, None, None, :]
+    return out.reshape(b, hq, tq, d).astype(dtype)
+
+
 def attention_int8(
     q: jax.Array,                  # [B, Hq, Tq, D] (bf16/f32, post-RoPE)
     kq: jax.Array,                 # [B, Hkv, T, D] int8
@@ -98,6 +142,66 @@ def _layers_stacked(params) -> bool:
     return not isinstance(params["layers"], list)
 
 
+def _qkv_proj(p, xn, b: int, t: int, nh: int, nkv: int, hd: int):
+    """q/k/v projections, through the serving-fused qkv weight when present
+    (one weight stream + one kernel launch instead of three)."""
+    if "qkv_proj" in p:
+        qkv = linear(xn, p["qkv_proj"]["kernel"])
+        q = qkv[..., : nh * hd]
+        k = qkv[..., nh * hd: (nh + nkv) * hd]
+        v = qkv[..., (nh + nkv) * hd:]
+    else:
+        q = linear(xn, p["q_proj"]["kernel"])
+        k = linear(xn, p["k_proj"]["kernel"])
+        v = linear(xn, p["v_proj"]["kernel"])
+    return (q.reshape(b, t, nh, hd), k.reshape(b, t, nkv, hd),
+            v.reshape(b, t, nkv, hd))
+
+
+def _concat_kernels(ws):
+    """Concatenate kernel weights along the output axis (QuantTensor-aware:
+    every quant format packs along K, so all fields concat cleanly along N —
+    and the fused matmul is numerically EXACT column-for-column)."""
+    from acestep_tpu.quant import QuantTensor as _QT
+
+    if isinstance(ws[0], _QT):
+        def cat(field):
+            vals = [getattr(w, field) for w in ws]
+            return None if vals[0] is None else jnp.concatenate(vals, axis=-1)
+
+        return dataclasses.replace(
+            ws[0],
+            shape=(ws[0].shape[0], sum(w.shape[1] for w in ws)),
+            data=cat("data"), data_hi=cat("data_hi"), scales=cat("scales"),
+            sub_scales=cat("sub_scales"), sub_mins=cat("sub_mins"),
+            super_scales=cat("super_scales"), super_mins=cat("super_mins"),
+        )
+    return jnp.concatenate(ws, axis=-1)
+
+
+def fuse_serving_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse q||k||v and gate||up into single weights for the decode scan.
+
+    The round-2 decode profile is launch/glue-bound, not bandwidth-bound: 7
+    quantized matmul kernels per layer x 28 layers dominates wall time at
+    batch-1.  Fusing drops that to 4 kernels/layer with identical numerics.
+    Stacked-layer params only; no-op otherwise."""
+    layers = params.get("layers")
+    if layers is None or isinstance(layers, list) or "qkv_proj" in layers:
+        return params
+    new_layers = dict(layers)
+    new_layers["qkv_proj"] = {"kernel": _concat_kernels(
+        [layers["q_proj"]["kernel"], layers["k_proj"]["kernel"],
+         layers["v_proj"]["kernel"]])}
+    new_layers["gateup_proj"] = {"kernel": _concat_kernels(
+        [layers["gate_proj"]["kernel"], layers["up_proj"]["kernel"]])}
+    for k in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"):
+        del new_layers[k]
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def prefill(
     params: Dict[str, Any],
     cfg: QwenConfig,
@@ -122,9 +226,7 @@ def prefill(
     def layer_fn(x, p):
         """Returns (x_out, (kq, ks, vq, vs)) for this layer."""
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t, nh, hd)
-        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t, nkv, hd)
-        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, t, nkv, hd)
+        q, k, v = _qkv_proj(p, xn, b, t, nh, nkv, hd)
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -171,12 +273,20 @@ def decode_step(
     cfg: QwenConfig,
     cache: KVCache,
     token_ids: jax.Array,          # [B] current input tokens
+    head=None,                     # optional head weight [H, V'] (array/QuantTensor)
 ) -> Tuple[jax.Array, KVCache]:
     """One decode position at each sequence's current length -> logits [B, vocab].
 
     Attention consumes the int8 cache directly (scale folding, no dequantized
-    copy); stacked params scan over layers with the per-layer cache slices as
-    scan inputs/outputs."""
+    copy).  Stacked params scan over layers with the FULL cache arrays in the
+    scan carry and per-layer dynamic updates: inside the decode while-loop XLA
+    aliases carry buffers in place, so each step writes only the new token's
+    K/V vectors instead of re-staging the whole [L, B, H, T, D] cache as
+    stacked scan outputs (the round-2 profile showed ~140 us/step of cache
+    copies + ~60 us of per-layer restacking at 0.6B shapes).
+
+    ``head`` overrides the final vocab projection (the codes phase passes a
+    column-sliced quantized head; see ``_scan_decode``)."""
     b = token_ids.shape[0]
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     t_max = cache.max_len
@@ -188,14 +298,18 @@ def decode_step(
     bias = jnp.where(
         pos_ids[None, :] <= cache.length[:, None], 0.0, NEG_INF
     ).astype(jnp.float32)[:, None, :]                     # [B, 1, T_max]
+    # strict version for the scan path: cache positions only (< length); the
+    # current token contributes through the explicit self-term instead
+    bias_strict = jnp.where(
+        pos_ids[None, :] < cache.length[:, None], 0.0, NEG_INF
+    ).astype(jnp.float32)[:, None, :]
     bidx = jnp.arange(b)
 
     def layer_fn(x, p, kq_l, ks_l, vq_l, vs_l):
-        """kq_l/vq_l: [B, Hkv, T, D] int8 slices; returns updated slices."""
+        """kq_l/vq_l: [B, Hkv, T, D] int8 slices (new token already written);
+        returns (x, (kq_new, ks_new, vq_new, vs_new)) token vectors."""
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, 1, nh, hd)
-        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, 1, nkv, hd)
-        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, 1, nkv, hd)
+        q, k, v = _qkv_proj(p, xn, b, 1, nh, nkv, hd)
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
@@ -214,15 +328,66 @@ def decode_step(
         return x, (kq_l, ks_l, vq_l, vs_l)
 
     if _layers_stacked(params):
+        # READ-ONLY layer scan over per-layer cache slices (scan-xs slicing
+        # fuses into the attention reads); the current token enters through the
+        # explicit self-term, and the cache write happens ONCE per step below
+        # as an aliasable dynamic-update-slice (per-layer scatters inside the
+        # scan forced full-cache copies: ~500 us/step at 0.6B shapes).
         def scan_body(x, xs):
             p, kq_l, ks_l, vq_l, vs_l = xs
-            return layer_fn(x, p, kq_l, ks_l, vq_l, vs_l)
+            xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
+            q, k, v = _qkv_proj(p, xn, b, 1, nh, nkv, hd)
+            q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+            k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            q, k = apply_rope(q, k, cos[:, None], sin[:, None])
+            k_self, v_self = k[:, :, 0, :], v[:, :, 0, :]
+            kq_new, ks_new = kvc.quantize_kv(k_self)
+            vq_new, vs_new = kvc.quantize_kv(v_self)
+            attn = attention_int8_self(
+                q, kq_l, ks_l, vq_l, vs_l, bias_strict, k_self, v_self)
+            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+            x = x + linear(attn, p["o_proj"]["kernel"])
+            hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+            x = x + qwen.mlp_block(p, hn)
+            return x, (kq_new, ks_new, vq_new, vs_new)
 
-        x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
-            scan_body, x,
-            (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale),
-        )
-        cache = KVCache(k_new, v_new, ks_new, vs_new, cache.length)
+        import os as _os
+
+        if _os.environ.get("ACESTEP_TPU_DECODE_UNROLL", "0") == "1":
+            # Unrolled layer loop with STATIC leading-dim slices: the slices
+            # are contiguous views (no dynamic-slice materialization — the
+            # scan form copies each layer's ~2 MB of K/V per step), at the
+            # cost of a ~L-times larger compile unit for the decode body.
+            outs = []
+            n_layers = cache.k.shape[0]
+            for li in range(n_layers):
+                p_l = jax.tree_util.tree_map(lambda a: a[li], params["layers"])
+                x, out = scan_body(
+                    x, (p_l, cache.k[li], cache.k_scale[li],
+                        cache.v[li], cache.v_scale[li]))
+                outs.append(out)
+            k_new, ks_new, v_new, vs_new = (
+                jnp.stack([o[i] for o in outs]) for i in range(4))
+        else:
+            x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
+                scan_body, x,
+                (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale),
+                unroll=int(_os.environ.get("ACESTEP_TPU_DECODE_SCAN_UNROLL", "1")),
+            )
+        # k_new: [L, B, Hkv, D] -> write at each sequence's position
+        kc, vc, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
+        for i in range(b):
+            pos = cache.length[i]
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[:, i:i + 1, :, None, :], (0, i, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[:, i:i + 1, :, None, :], (0, i, 0, pos, 0))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks_new[:, i:i + 1, :, None], (0, i, 0, pos))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs_new[:, i:i + 1, :, None], (0, i, 0, pos))
+        cache = KVCache(kc, vc, ksc, vsc, cache.length)
     else:
         ks_list, vs_list, kq_list, vq_list = [], [], [], []
         for li, p in enumerate(params["layers"]):
@@ -239,7 +404,10 @@ def decode_step(
         )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
-    logits = qwen.lm_logits(params, cfg, x)[:, 0, :]
+    if head is not None:
+        logits = linear(x, head)[:, 0, :]
+    else:
+        logits = qwen.lm_logits(params, cfg, x)[:, 0, :]
     return logits.astype(jnp.float32), cache
 
 
@@ -294,6 +462,89 @@ def sample_logits(
 # generation (single dispatch, lax.scan)
 # ---------------------------------------------------------------------------
 
+def ensure_quantized_head(params: Dict[str, Any], fmt: Optional[str] = None) -> Dict[str, Any]:
+    """Give tied-embedding LMs a QUANTIZED ``lm_head`` copy for serving.
+
+    With tied embeddings ``lm_logits`` streams the full bf16 embedding matrix
+    (0.3 GB at 0.6B) through HBM on EVERY decode step — the round-2 profile
+    showed this head projection costs as much as all 28 layers combined, and
+    it is why bf16 and q8_0 decode timed identically.  GGML quantizes
+    ``output.weight`` like any other matmul weight (reference export keeps a
+    quantized output tensor even for tied models), so a quantized head copy
+    matches reference numerics at reference quality.
+
+    No-op unless the layer weights are quantized (keeps tiny f32 test models
+    bit-identical).  Format: ``ACESTEP_TPU_LM_HEAD_QUANT`` (default q8_0)."""
+    import os
+
+    from acestep_tpu.quant import QuantTensor as _QT
+    from acestep_tpu.quant.jax_quant import quantize_jax
+
+    if params.get("lm_head") is not None:
+        return params
+    layer_quantized = any(
+        isinstance(leaf, _QT)
+        for leaf in jax.tree_util.tree_leaves(
+            params.get("layers"), is_leaf=lambda x: isinstance(x, _QT))
+    )
+    if not layer_quantized:
+        return params
+    fmt = fmt or os.environ.get("ACESTEP_TPU_LM_HEAD_QUANT", "q8_0")
+    if fmt in ("none", "0", ""):
+        return params
+    emb = params["embed_tokens"]
+    if emb.shape[1] % 256:        # block formats need K % 256 == 0
+        return params
+    # pad the vocab axis to a lane-friendly multiple (Qwen3's 151669 is odd —
+    # unpadded it forces the Pallas qmm into its dequant fallback, which costs
+    # MORE than the tied bf16 dot).  lm_logits slices back to vocab_size.
+    pad = (-emb.shape[0]) % 256
+
+    def _build(e):
+        w = e.astype(jnp.float32).T
+        if pad:
+            w = jnp.pad(w, ((0, 0), (0, pad)))
+        return quantize_jax(w, fmt)
+
+    head = jax.jit(_build)(emb)
+    out = dict(params)
+    out["lm_head"] = {"kernel": head}
+    return out
+
+
+def _slice_head_cols(w, lo: int, hi: int, eos: Optional[int], pad_multiple: int = 256):
+    """Column-slice a head weight [K, V] to ``[lo, hi)`` (+ the EOS column),
+    zero-padded to a lane multiple.  All quant formats pack along K, so every
+    field slices cleanly along N.  Returns (reduced_weight, n_range, n_valid).
+    """
+    from acestep_tpu.quant import QuantTensor as _QT
+
+    n_range = hi - lo
+    n_valid = n_range + (1 if eos is not None else 0)
+    pad = (-n_valid) % pad_multiple
+
+    def cut(a):
+        if a is None:
+            return None
+        parts = [a[:, lo:hi]]
+        if eos is not None:
+            parts.append(a[:, eos:eos + 1])
+        if pad:
+            parts.append(jnp.zeros((a.shape[0], pad), a.dtype))
+        return jnp.concatenate(parts, axis=1)
+
+    if isinstance(w, _QT):
+        red = dataclasses.replace(
+            w, shape=(w.shape[0], n_valid + pad),
+            data=cut(w.data), data_hi=cut(w.data_hi), scales=cut(w.scales),
+            sub_scales=cut(w.sub_scales), sub_mins=cut(w.sub_mins),
+            super_scales=cut(w.super_scales), super_mins=cut(w.super_mins),
+        )
+    else:
+        red = cut(w)
+    return red, n_range, n_valid
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplingParams:
     temperature: float = 0.85
@@ -319,9 +570,27 @@ def _scan_decode(
     cached decode steps.  ``min_tokens_arr`` / ``forced_eos_arr`` are TRACED
     per-item [B] overrides of the static sp.min_tokens / sp.forced_eos_at —
     mixed durations share one compiled scan (code-count bucketing)."""
+    import os as _os
+
     use_cfg = sp.cfg_scale != 1.0 and ucache is not None
     if use_cfg:
         logits = ulogits + sp.cfg_scale * (logits - ulogits)
+
+    # Codes-phase reduced head: slice the vocab projection to the allowed code
+    # range (+EOS) — 64k of 152k columns — so each decode step streams ~2.4x
+    # fewer head bytes and samples over the reduced space.  Distribution over
+    # allowed tokens is unchanged (disallowed tokens carried ~0 mass).
+    head_red = None
+    n_range = n_valid = 0
+    if (
+        sp.allowed_range is not None
+        and _os.environ.get("ACESTEP_TPU_REDUCED_CODES_HEAD", "1") != "0"
+    ):
+        w_full = (params.get("lm_head") or {}).get("kernel")
+        if w_full is None:
+            w_full = params["embed_tokens"].T          # tied
+        head_red, n_range, n_valid = _slice_head_cols(
+            w_full, sp.allowed_range[0], sp.allowed_range[1], sp.eos_token)
 
     vocab = logits.shape[-1]
     vocab_ids = jnp.arange(vocab)
@@ -361,6 +630,29 @@ def _scan_decode(
             s = s | (tok == sp.eos_token)
         return s
 
+    def constrain_red(lr, step):
+        """Reduced-space analog of constrain(): col j <-> token lo+j,
+        col n_range <-> EOS, cols >= n_valid are padding."""
+        col = jnp.arange(lr.shape[-1])[None, :]
+        lr = jnp.where(col >= n_valid, NEG_INF, lr)
+        if sp.eos_token is not None:
+            is_eos = col == n_range
+            if min_tokens_arr is not None:
+                lr = jnp.where((step < min_tokens_arr[:, None]) & is_eos, NEG_INF, lr)
+            elif sp.min_tokens > 0:
+                lr = jnp.where((step < sp.min_tokens) & is_eos, NEG_INF, lr)
+            if forced_eos_arr is not None:
+                lr = jnp.where((step >= forced_eos_arr[:, None]) & ~is_eos, NEG_INF, lr)
+            elif sp.forced_eos_at is not None:
+                lr = jnp.where((step >= sp.forced_eos_at) & ~is_eos, NEG_INF, lr)
+        return lr
+
+    def map_red(tok_red):
+        full = sp.allowed_range[0] + tok_red
+        if sp.eos_token is not None:
+            full = jnp.where(tok_red == n_range, sp.eos_token, full)
+        return full.astype(jnp.int32)
+
     k0, kloop = jax.random.split(key)
     first_logits = constrain(logits, 0)
     first_tok = sample_logits(k0, first_logits, sp.temperature, sp.top_k, sp.top_p)
@@ -369,16 +661,20 @@ def _scan_decode(
     # scan carry: (cache, ucache, cur_tok, finished, step)
     def scan_body(carry, k):
         cache, ucache, cur, finished, step = carry
-        logits, cache2 = decode_step(params, cfg, cache, cur)
+        logits, cache2 = decode_step(params, cfg, cache, cur, head=head_red)
         cache2 = kvc.advance(cache2, jnp.ones((b,), bool))
         if use_cfg:
-            ulog, ucache2 = decode_step(params, cfg, ucache, cur)
+            ulog, ucache2 = decode_step(params, cfg, ucache, cur, head=head_red)
             ucache2 = kvc.advance(ucache2, jnp.ones((b,), bool))
             logits = ulog + sp.cfg_scale * (logits - ulog)
         else:
             ucache2 = ucache
-        logits = constrain(logits, step + 1)
-        nxt = sample_logits(k, logits, sp.temperature, sp.top_k, sp.top_p)
+        if head_red is not None:
+            logits = constrain_red(logits, step + 1)
+            nxt = map_red(sample_logits(k, logits, sp.temperature, sp.top_k, sp.top_p))
+        else:
+            logits = constrain(logits, step + 1)
+            nxt = sample_logits(k, logits, sp.temperature, sp.top_k, sp.top_p)
         nxt = jnp.where(finished, cur, nxt)     # frozen once finished
         new_finished = finished | is_stop(nxt)
         out_tok = jnp.where(finished, -1, nxt)
@@ -563,9 +859,7 @@ def extend_prefill(
 
     def layer_fn(x, p, kq_l, ks_l, vq_l, vs_l):
         xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
-        q = linear(xn, p["q_proj"]["kernel"]).reshape(b, t2, nh, hd)
-        k = linear(xn, p["k_proj"]["kernel"]).reshape(b, t2, nkv, hd)
-        v = linear(xn, p["v_proj"]["kernel"]).reshape(b, t2, nkv, hd)
+        q, k, v = _qkv_proj(p, xn, b, t2, nh, nkv, hd)
         q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)

@@ -199,3 +199,106 @@ class TestPrefixCache:
         pc.insert([7], c, jnp.zeros((1, 8)))
         pc.insert([8], c, jnp.zeros((1, 8)))   # evicts oldest
         assert pc.lookup([1, 2, 3]) is None    # evicted
+
+
+class TestReducedCodesHead:
+    def test_reduced_matches_full_greedy(self, params, monkeypatch):
+        """Greedy codes-phase decode with the column-sliced head must produce
+        exactly the tokens of the full-vocab path (same matmul columns, same
+        constraint semantics; serving/lm.py _slice_head_cols)."""
+        rng = np.random.default_rng(11)
+        prompt = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 6)), jnp.int32)
+        lengths = jnp.asarray([6, 6], jnp.int32)
+        sp = SamplingParams(
+            temperature=0.0, max_new_tokens=10, allowed_range=(16, 80),
+            eos_token=5, min_tokens=3, forced_eos_at=8,
+        )
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("ACESTEP_TPU_REDUCED_CODES_HEAD", flag)
+            jax.clear_caches()
+            toks, n = generate(params, TINY, prompt, lengths, jax.random.key(2), sp)
+            outs[flag] = (np.asarray(toks), np.asarray(n))
+        np.testing.assert_array_equal(outs["1"][0], outs["0"][0])
+        np.testing.assert_array_equal(outs["1"][1], outs["0"][1])
+        # constraint semantics hold
+        toks, n = outs["1"]
+        for row, nr in zip(toks, n):
+            valid = row[:nr]
+            assert valid[-1] == 5 or nr == sp.max_new_tokens
+            assert all((16 <= t < 80) or t == 5 for t in valid)
+
+    def test_ensure_quantized_head_tied(self):
+        """Quantized-layer tied models get a q8_0 lm_head copy; decode stays
+        within quant tolerance of the tied bf16 projection."""
+        from acestep_tpu.quant import QuantTensor, quantize_tree_jax
+
+        cfg = QwenConfig(
+            vocab_size=512, hidden_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=512,
+            head_dim=64,
+        )
+        p = qwen.init_params(jax.random.key(1), cfg, dtype=jnp.float32, scale=0.1)
+        pq = qwen.stack_params(quantize_tree_jax(p, "q8_0"))  # quantize pre-stack
+        pq = lm.ensure_quantized_head(pq)
+        assert isinstance(pq["lm_head"]["kernel"], QuantTensor)
+        assert pq["lm_head"]["kernel"].shape == (256, 512)
+        # unquantized params: no head added
+        assert lm.ensure_quantized_head(p).get("lm_head") is None
+
+        # logits through the quantized head track the tied projection
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 1, 256)), jnp.float32)
+        from acestep_tpu.ops import linear
+
+        tied = np.asarray(qwen.lm_logits(p, cfg, x))[0, 0]
+        qhead = np.asarray(linear(x, pq["lm_head"]["kernel"]))[0, 0]
+        cos = np.dot(tied, qhead) / (np.linalg.norm(tied) * np.linalg.norm(qhead) + 1e-9)
+        assert cos > 0.999
+
+    def test_slice_head_cols_quant(self):
+        """Column slicing a QuantTensor head dequantizes to exactly the sliced
+        columns of the full dequantized matrix (+ EOS col + zero pad)."""
+        from acestep_tpu.quant import dequantize
+        from acestep_tpu.quant.jax_quant import quantize_jax
+
+        w = jnp.asarray(np.random.default_rng(5).standard_normal((256, 384)), jnp.float32)
+        qt = quantize_jax(w, "q8_0")
+        red, n_range, n_valid = lm._slice_head_cols(qt, 32, 160, eos=300)
+        assert (n_range, n_valid) == (128, 129)
+        full_d = np.asarray(dequantize(qt, jnp.float32))
+        red_d = np.asarray(dequantize(red, jnp.float32))
+        np.testing.assert_array_equal(red_d[:, :128], full_d[:, 32:160])
+        np.testing.assert_array_equal(red_d[:, 128], full_d[:, 300])
+        assert not red_d[:, 129:].any()
+
+
+class TestFusedServingParams:
+    def test_fused_matches_unfused(self, params):
+        """q||k||v and gate||up fusion is numerically exact: greedy generate
+        must produce identical tokens (serving/lm.py fuse_serving_params)."""
+        stacked = qwen.stack_params({k: v for k, v in params.items()})
+        fused = lm.fuse_serving_params(stacked)
+        assert "qkv_proj" in fused["layers"] and "q_proj" not in fused["layers"]
+        rng = np.random.default_rng(7)
+        prompt = jnp.asarray(rng.integers(0, TINY.vocab_size, (2, 9)), jnp.int32)
+        lengths = jnp.asarray([9, 7], jnp.int32)
+        sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+        t0, n0 = generate(stacked, TINY, prompt, lengths, jax.random.key(0), sp)
+        t1, n1 = generate(fused, TINY, prompt, lengths, jax.random.key(0), sp)
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+        np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+
+    def test_fused_quant_concat_exact(self):
+        """QuantTensor concat along N dequantizes to the column concat."""
+        from acestep_tpu.quant import dequantize
+        from acestep_tpu.quant.jax_quant import quantize_jax
+
+        rng = np.random.default_rng(2)
+        a = quantize_jax(jnp.asarray(rng.standard_normal((256, 128)), jnp.float32), "q4_k")
+        c = quantize_jax(jnp.asarray(rng.standard_normal((256, 64)), jnp.float32), "q4_k")
+        cat = lm._concat_kernels([a, c])
+        assert cat.shape == (256, 192)
+        da = np.asarray(dequantize(a, jnp.float32))
+        dc = np.asarray(dequantize(c, jnp.float32))
+        dcat = np.asarray(dequantize(cat, jnp.float32))
+        np.testing.assert_array_equal(dcat, np.concatenate([da, dc], axis=1))

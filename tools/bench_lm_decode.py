@@ -59,12 +59,16 @@ def main():
 
     def build(k):
         p = qwen.init_params(k, cfg, dtype=jnp.bfloat16)
-        p = qwen.stack_params(p) if hasattr(qwen, "stack_params") else p
         if args.quant != "bf16":
-            p = quantize_tree_jax(p, args.quant)
-        return p
+            p = quantize_tree_jax(p, args.quant)   # BEFORE stacking: the quant
+            # policy only takes 2-D kernels (stacked [L,K,N] would pass through
+            # unquantized — silent bf16 bench)
+        return qwen.stack_params(p)
 
     params = jax.jit(build)(jax.random.key(0))
+    params = lm_serving.ensure_quantized_head(params)
+    if os.environ.get("ACESTEP_TPU_LM_FUSE", "1") != "0":
+        params = lm_serving.fuse_serving_params(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
 
     sp = lm_serving.SamplingParams(

@@ -49,12 +49,14 @@ def main():
 
     def build(k):
         p = qwen.init_params(k, cfg, dtype=jnp.bfloat16)
-        p = qwen.stack_params(p)
         if args.quant != "bf16":
-            p = quantize_tree_jax(p, args.quant)
-        return p
+            p = quantize_tree_jax(p, args.quant)   # before stacking (2-D policy)
+        return qwen.stack_params(p)
 
     params = jax.jit(build)(jax.random.key(0))
+    params = lm_serving.ensure_quantized_head(params)
+    if os.environ.get("ACESTEP_TPU_LM_FUSE", "1") != "0":
+        params = lm_serving.fuse_serving_params(params)
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
 
     sp = lm_serving.SamplingParams(
