@@ -77,13 +77,21 @@ class GenerationConfig:
 
 @dataclasses.dataclass
 class MusicResult:
-    audio: np.ndarray
     sample_rate: int
     metadata: Dict[str, Any]
     lm_result: Optional[LMResult]
     dit_result: GenerationResult
     time_costs: Dict[str, float]
     seeds: List[int]
+
+    @property
+    def audio(self) -> np.ndarray:
+        """Float32 audio (delegates to the DiT result's lazy int16→f32)."""
+        return self.dit_result.audio
+
+    def pcm16(self) -> np.ndarray:
+        """WAV-ready int16 PCM without a host float round-trip."""
+        return self.dit_result.pcm16()
 
 
 def generate_music(
@@ -203,7 +211,6 @@ def generate_music(
     time_costs["total_time_cost"] = time.perf_counter() - t0
 
     return MusicResult(
-        audio=dit_result.audio,
         sample_rate=dit_result.sample_rate,
         metadata=metadata,
         lm_result=lm_result,

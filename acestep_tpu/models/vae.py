@@ -458,8 +458,8 @@ def fused_tiled_decode_int16(
     max_window_batch: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
     """The WHOLE tiled decode as one jitted program: window slicing, per-window
-    decode, overlap trim, concat, global peak, and int16 quantization at the
-    peak scale — returning (audio_i16 [B, L, C], scale []).
+    decode, overlap trim, concat, global peak, and int16 quantization —
+    returning (audio_i16 flat [B*L*C] in C-order, scale []).
 
     One device dispatch + one host fetch replace the per-window dispatch loop:
     through the dev tunnel each synced dispatch costs ~30 ms, which made the
@@ -467,6 +467,15 @@ def fused_tiled_decode_int16(
     semantics match tiled_decode/the C++ runtime (acestep_ggml.cpp:2114-2229);
     host side divides by ``scale`` to recover float audio at 16-bit-WAV
     precision (what the output keeps anyway).
+
+    The int16 is quantized at the WAV output scale (peak-limited to 0.99 like
+    audio_utils.py:24 peak normalization, i.e. ``32767·min(1, 0.99/peak)``), so
+    the bytes ARE the final 16-bit PCM payload: WAV/FLAC writers consume them
+    with no host-side float math (this sandbox page-faults large fresh host
+    allocations at ~20 MB/s, so a 600 s int16→f32→int16 round-trip costs ~19 s).
+    The FLAT return shape forces an unambiguous C-order device layout — the dev
+    tunnel returns >1-D arrays F-contiguous, which turns every downstream numpy
+    op into a strided copy.
 
     Peak HBM is bounded: same-(size, trim) window groups run through
     ``lax.map(batch_size=max_window_batch)``, so the decode body is compiled
@@ -514,9 +523,11 @@ def fused_tiled_decode_int16(
     full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
     full = full.astype(jnp.float32)
     peak = jnp.max(jnp.abs(full))
-    scale = 32767.0 / jnp.maximum(peak, 1e-12)
+    # WAV output scale: attenuate to 0.99 full-scale only when the peak exceeds
+    # it (audio_utils.py:24 semantics); quieter audio keeps its amplitude
+    scale = 32767.0 * jnp.where(peak > 0.99, 0.99 / jnp.maximum(peak, 1e-12), 1.0)
     i16 = jnp.clip(jnp.round(full * scale), -32768.0, 32767.0).astype(jnp.int16)
-    return i16, scale
+    return i16.reshape(-1), scale
 
 
 def tiled_encode(

@@ -163,14 +163,58 @@ class GenerationRequest:
     durations_s: Optional[Sequence[float]] = None
 
 
-@dataclasses.dataclass
 class GenerationResult:
-    audio: np.ndarray                                  # [B, L, C] float32 (padded)
-    latents: np.ndarray                                # [B, T, 64]
-    sample_rate: int
-    time_costs: Dict[str, float]
-    seeds: List[int]
-    audio_lengths: Optional[List[int]] = None          # per-item valid samples
+    """Generation output.  Audio is carried as 16-bit PCM (``audio_i16`` at
+    ``audio_scale``, the WAV output scale) and expanded to float32 LAZILY via
+    the ``.audio`` property: the host-side int16→f32 conversion of a 600 s
+    song costs ~19 s in this sandbox (large fresh allocations page-fault at
+    ~20 MB/s), and the WAV/FLAC writers re-quantize to int16 anyway — so the
+    hot serving path never touches float audio (handler.py keeps float; this
+    is a TPU-host-economics redesign, not parity)."""
+
+    def __init__(
+        self,
+        latents: np.ndarray,                           # [B, T, 64]
+        sample_rate: int,
+        time_costs: Dict[str, float],
+        seeds: List[int],
+        audio: Optional[np.ndarray] = None,            # [B, L, C] float32 (padded)
+        audio_lengths: Optional[List[int]] = None,     # per-item valid samples
+        audio_i16: Optional[np.ndarray] = None,        # [B, L, C] int16 PCM
+        audio_scale: float = 32767.0,                  # f32 = i16 / audio_scale
+    ):
+        self.latents = latents
+        self.sample_rate = sample_rate
+        self.time_costs = time_costs
+        self.seeds = seeds
+        self.audio_lengths = audio_lengths
+        self.audio_i16 = audio_i16
+        self.audio_scale = float(audio_scale)
+        self._audio_f32 = None if audio is None else np.asarray(audio)
+
+    @property
+    def audio(self) -> np.ndarray:
+        """Float32 audio [B, L, C] at original amplitude (computed on demand
+        from the int16 payload; cached)."""
+        if self._audio_f32 is None:
+            if self.audio_i16 is None:
+                raise AttributeError("GenerationResult has no audio payload")
+            self._audio_f32 = np.multiply(
+                self.audio_i16, np.float32(1.0 / self.audio_scale),
+                dtype=np.float32,
+            )
+        return self._audio_f32
+
+    def pcm16(self) -> np.ndarray:
+        """WAV-ready int16 PCM [B, L, C] (peak-limited to 0.99 full-scale, the
+        audio_utils.py:24 normalization) with no float round-trip."""
+        if self.audio_i16 is not None:
+            return self.audio_i16
+        a = self._audio_f32
+        peak = np.abs(a).max()
+        if peak > 0.99:
+            a = a * (0.99 / peak)
+        return np.round(np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
 
 
 def _fence(x: jax.Array) -> None:
@@ -579,8 +623,20 @@ class AceStepEngine:
                 time.perf_counter() - t2
                 - time_costs["vae_compute_time_cost"]
             )
-            audio_np = np.asarray(i16, np.float32) / float(scale)
+            b_out = latents_valid.shape[0]
+            audio_i16 = np.asarray(i16).reshape(b_out, -1, self.vae_cfg.audio_channels)
             latents_np = np.asarray(latents_np, np.float32)
+            time_costs["vae_time_cost"] = time.perf_counter() - t2
+            time_costs["total_time_cost"] = time.perf_counter() - t0
+            return GenerationResult(
+                audio_i16=audio_i16,
+                audio_scale=float(scale),
+                latents=latents_np,
+                sample_rate=self.vae_cfg.sampling_rate,
+                time_costs=time_costs,
+                seeds=seeds,
+                audio_lengths=[v * self.vae_cfg.hop_length for v in item_valid],
+            )
         else:
             audio = vae.tiled_decode(
                 self.vae_params, self.vae_cfg, latents_valid,

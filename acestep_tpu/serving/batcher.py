@@ -148,13 +148,19 @@ def split_result(result: GenerationResult, sizes: List[int]) -> List[GenerationR
     i = 0
     for n in sizes:
         sl = slice(i, i + n)
+        # slice the int16 payload when present (views, no float expansion)
+        audio_kw = (
+            {"audio_i16": result.audio_i16[sl], "audio_scale": result.audio_scale}
+            if result.audio_i16 is not None
+            else {"audio": result.audio[sl]}
+        )
         outs.append(GenerationResult(
-            audio=result.audio[sl],
             latents=result.latents[sl],
             sample_rate=result.sample_rate,
             time_costs=result.time_costs,
             seeds=result.seeds[sl],
             audio_lengths=result.audio_lengths[sl] if result.audio_lengths else None,
+            **audio_kw,
         ))
         i += n
     return outs

@@ -63,7 +63,7 @@ def make_generate_fn(engine, tokenizer=None):
     import numpy as np
 
     from acestep_tpu.pipeline import GenerationRequest
-    from acestep_tpu.utils.audio import peak_normalize, write_wav
+    from acestep_tpu.utils.audio import write_wav
 
     def tokenize(text: str, cap: int):
         if tokenizer is not None:
@@ -98,7 +98,9 @@ def make_generate_fn(engine, tokenizer=None):
             use_adg=p.bool("use_adg"),
         )
         res = engine.generate(req)
-        audio = peak_normalize(res.audio[0])
+        # already peak-normalized 16-bit PCM from the device (audio_utils.py:24
+        # semantics); no host float round-trip
+        audio = res.pcm16()[0]
         fmt = p.str("audio_format", "wav").lower()
         if fmt == "flac":
             audio_b64 = base64.b64encode(encode_flac(audio, res.sample_rate)).decode()

@@ -177,9 +177,9 @@ class TestEndToEnd:
                                           chunk_frames=60, overlap_frames=20))
         i16, scale = vae.fused_tiled_decode_int16(
             params, TINY, lat, chunk_frames=60, overlap_frames=20)
-        out = np.asarray(i16, np.float32) / float(scale)
-        assert out.shape == ref.shape
-        lsb = np.abs(ref).max() / 32767.0
+        out = np.asarray(i16, np.float32).reshape(ref.shape) / float(scale)
+        # quant step: 1/scale = max(peak/0.99, 1)/32767 (WAV output scale)
+        lsb = max(np.abs(ref).max() / 0.99, 1.0) / 32767.0
         assert np.abs(out - ref).max() <= lsb * 0.51
 
     def test_fused_decode_many_windows_bounded_batch(self, setup):
@@ -194,9 +194,9 @@ class TestEndToEnd:
         i16, scale = vae.fused_tiled_decode_int16(
             params, TINY, lat, chunk_frames=40, overlap_frames=8,
             max_window_batch=2)
-        out = np.asarray(i16, np.float32) / float(scale)
-        assert out.shape == ref.shape
-        lsb = np.abs(ref).max() / 32767.0
+        out = np.asarray(i16, np.float32).reshape(ref.shape) / float(scale)
+        # quant step: 1/scale = max(peak/0.99, 1)/32767 (WAV output scale)
+        lsb = max(np.abs(ref).max() / 0.99, 1.0) / 32767.0
         assert np.abs(out - ref).max() <= lsb * 0.51
 
     def test_fused_decode_full_path_when_chunk_covers(self, setup):
@@ -206,8 +206,8 @@ class TestEndToEnd:
         full = np.asarray(vae.decode(params, TINY, lat))
         i16, scale = vae.fused_tiled_decode_int16(params, TINY, lat,
                                                   chunk_frames=512)
-        out = np.asarray(i16, np.float32) / float(scale)
-        lsb = np.abs(full).max() / 32767.0
+        out = np.asarray(i16, np.float32).reshape(full.shape) / float(scale)
+        lsb = max(np.abs(full).max() / 0.99, 1.0) / 32767.0
         assert np.abs(out - full).max() <= lsb * 0.51
 
     def test_tiled_decode_insufficient_overlap_has_seams(self, setup):
