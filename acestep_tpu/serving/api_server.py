@@ -82,6 +82,32 @@ class JobStore:
                 by_status[v["status"]] = by_status.get(v["status"], 0) + 1
         return {**self.stats, **{f"jobs_{k}": n for k, n in by_status.items()}}
 
+    def list(self, limit: int = 50) -> list:
+        """Newest-first job summaries for results management (no audio payload
+        — completed audio is refetched per task via /query_result).  Reference
+        surface: the gradio results tab over the same job store."""
+        with self._lock:
+            jobs = sorted(
+                self._jobs.items(), key=lambda kv: kv[1]["created_at"], reverse=True
+            )[: max(1, min(int(limit), 500))]
+            out = []
+            for task_id, v in jobs:
+                p = v.get("payload") or {}
+                r = v.get("result") or {}
+                out.append({
+                    "task_id": task_id,
+                    "status": v["status"],
+                    "created_at": v["created_at"],
+                    "updated_at": v["updated_at"],
+                    "caption": p.get("caption") or p.get("prompt") or "",
+                    "duration": p.get("duration"),
+                    "seed": p.get("seed"),
+                    "audio_format": r.get("audio_format"),
+                    "time_costs": r.get("time_costs"),
+                    "error": v.get("error"),
+                })
+        return out
+
 
 # canonical name -> accepted aliases (camelCase / legacy keys), checked in
 # payload, then its "param_obj" sub-object, then "metas" (the reference's
@@ -385,6 +411,12 @@ class ApiServer:
                     self.end_headers()
                     self.wfile.write(data)
                     return None
+                if self.path.startswith("/v1/jobs"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    limit = int((q.get("limit") or ["50"])[0])
+                    return self._send(200, {"jobs": server.store.list(limit)})
                 if self.path == "/v1/lora":
                     if server.lora_runtime is None:
                         return self._send(501, {"error": "LoRA runtime not attached"})

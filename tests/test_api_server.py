@@ -97,6 +97,25 @@ def test_unknown_task(server):
     assert code == 404
 
 
+def test_jobs_listing(server):
+    """GET /v1/jobs: newest-first summaries for the studio results tab, no
+    audio payload (refetched per task via /query_result)."""
+    srv, port = server
+    _, a = _post(port, "/release_task", {"caption": "first", "duration": 30})
+    _wait_result(port, a["task_id"])
+    _, b = _post(port, "/release_task", {"caption": "second", "seed": 7})
+    _wait_result(port, b["task_id"])
+    code, out = _get(port, "/v1/jobs?limit=10")
+    assert code == 200
+    jobs = out["jobs"]
+    assert [j["caption"] for j in jobs[:2]] == ["second", "first"]
+    assert jobs[0]["status"] == "completed" and jobs[0]["seed"] == 7
+    assert jobs[1]["duration"] == 30
+    assert all("audio_base64" not in j for j in jobs)
+    code, out = _get(port, "/v1/jobs?limit=1")
+    assert len(out["jobs"]) == 1
+
+
 def test_lm_flows(server):
     srv, port = server
     _, out = _post(port, "/create_random_sample", {"query": "jazz"})
