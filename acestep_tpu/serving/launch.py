@@ -63,7 +63,6 @@ def make_generate_fn(engine, tokenizer=None):
     import numpy as np
 
     from acestep_tpu.pipeline import GenerationRequest
-    from acestep_tpu.utils.audio import write_wav
 
     def tokenize(text: str, cap: int):
         if tokenizer is not None:
@@ -105,17 +104,10 @@ def make_generate_fn(engine, tokenizer=None):
         if fmt == "flac":
             audio_b64 = base64.b64encode(encode_flac(audio, res.sample_rate)).decode()
         else:
-            import tempfile
+            from acestep_tpu.utils.audio import wav_bytes
 
             fmt = "wav"
-            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-                path = f.name
-            try:
-                write_wav(path, audio, res.sample_rate)
-                with open(path, "rb") as f:
-                    audio_b64 = base64.b64encode(f.read()).decode()
-            finally:
-                os.unlink(path)
+            audio_b64 = base64.b64encode(wav_bytes(audio, res.sample_rate)).decode()
         out = {
             "audio_base64": audio_b64,
             "audio_format": fmt,
