@@ -526,34 +526,53 @@ def forward(
         flags = [lt == "sliding_attention" for lt in cfg.layer_types]
         k_stack, v_stack = kv_list
         n_layers = len(flags)
+        # big quantized kernels leave the scan xs and stream by traced layer
+        # index instead (ops.qlinear.StackedWeight -> scalar-prefetch kernel):
+        # scan-xs weight slices otherwise materialize an HBM copy of every
+        # layer's quantized weights on EVERY diffusion step
+        from acestep_tpu.ops import qlinear as _ql
+
+        use_sw = _ql.use_stacked_weights(layers)
+        if use_sw:
+            layers_xs, big_w = _ql.split_stacked_weights(layers)
+        else:
+            layers_xs, big_w = layers, []
         period = _pattern_period(flags)
         if period is not None and period <= n_layers:
             # scan over GROUPS of `period` layers with STATIC sliding flags
             # (no lax.cond; the attention variant per sub-layer is fixed)
             n_groups = n_layers // period
-            g_layers = _group_stacked(layers, n_groups, period)
+            g_layers = _group_stacked(layers_xs, n_groups, period)
             g_k = _group_stacked(k_stack, n_groups, period)
             g_v = _group_stacked(v_stack, n_groups, period)
 
             def scan_body(x, xs):
-                pg, kg, vg = xs
+                gi, pg, kg, vg = xs
                 for j in range(period):
-                    x = layer_body(
-                        x, _index_tree(pg, j), (kg[j], vg[j]), flags[j]
-                    )
+                    p = _index_tree(pg, j)
+                    if use_sw:
+                        p = _ql.rebuild_layer_params(p, big_w, gi * period + j)
+                    x = layer_body(x, p, (kg[j], vg[j]), flags[j])
                 return x, None
 
-            x, _ = jax.lax.scan(scan_body, x, (g_layers, g_k, g_v))
+            x, _ = jax.lax.scan(
+                scan_body, x,
+                (jnp.arange(n_groups, dtype=jnp.int32), g_layers, g_k, g_v),
+            )
         else:
             # irregular pattern: traced flag + runtime select
             sliding_flags = jnp.asarray(flags)
 
             def scan_body(x, xs):
-                p, k_l, v_l, flag = xs
+                li, p, k_l, v_l, flag = xs
+                if use_sw:
+                    p = _ql.rebuild_layer_params(p, big_w, li)
                 return layer_body(x, p, (k_l, v_l), flag), None
 
             x, _ = jax.lax.scan(
-                scan_body, x, (layers, k_stack, v_stack, sliding_flags)
+                scan_body, x,
+                (jnp.arange(n_layers, dtype=jnp.int32), layers_xs,
+                 k_stack, v_stack, sliding_flags),
             )
 
     # output AdaLN (2-col table) + unpatchify (convtranspose1d stride=patch)

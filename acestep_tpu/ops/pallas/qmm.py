@@ -38,11 +38,29 @@ Q8_BK = 512
 Q4_BK = FOLD  # 256: one fold group per K-tile
 
 
-def _pick_bn(n: int) -> Optional[int]:
-    for bn in (DEFAULT_BN, 128):
+SMALL_M = 32             # decode-shaped: grid-step overhead dominates, so use
+                         # the largest tiles VMEM allows (fewer, fatter steps)
+_TILE_BYTES_CAP = 1 << 21  # ~2 MB data tile (+ double buffering) well under VMEM
+
+
+def _pick_bn(n: int, m: Optional[int] = None) -> Optional[int]:
+    cands = (2048, 1024, 512, 256, 128) if (m is not None and m <= SMALL_M) \
+        else (DEFAULT_BN, 128)
+    for bn in cands:
         if n % bn == 0:
             return bn
     return None
+
+
+def _pick_q8_bk(k_dim: int, m: int, bn: int) -> Optional[int]:
+    """q8_0 K-tile: bigger for decode shapes, capped by the VMEM tile budget."""
+    if m <= SMALL_M:
+        for bk in (4096, 2048, 1024, Q8_BK):
+            if k_dim % bk == 0 and bk * bn <= _TILE_BYTES_CAP:
+                return bk
+    if k_dim % Q8_BK == 0:
+        return Q8_BK
+    return k_dim if k_dim % BLOCK == 0 else None
 
 
 def _pick_bm(m: int) -> int:
@@ -158,10 +176,11 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     """
     k_dim, n = qt.shape
     m = x.shape[0]
-    bn = _pick_bn(n)
-    bk = Q8_BK if qt.fmt == "q8_0" else Q4_BK
-    if bk > k_dim or k_dim % bk:
-        bk = k_dim if (qt.fmt == "q8_0" and k_dim % BLOCK == 0) else None
+    bn = _pick_bn(n, m)
+    if qt.fmt == "q8_0":
+        bk = _pick_q8_bk(k_dim, m, bn) if bn is not None else None
+    else:
+        bk = Q4_BK if k_dim % Q4_BK == 0 else None
     if bn is None or bk is None:
         wd = dequantize(qt, dtype=jnp.bfloat16)
         return jnp.dot(x.astype(jnp.bfloat16), wd,
@@ -249,9 +268,12 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     return out[:m] if m_pad else out
 
 
-INT8_ACT_MAX_M = 16      # decode-shaped: weight streaming dominates, int8 MXU
-                         # halves the bytes/flop vs bf16 dequant
-_INT8_ACT_ENV = "ACESTEP_TPU_INT8_ACT"   # 1 (default) | 0
+INT8_ACT_MAX_M = 16      # decode-shaped int8-activation variant (opt-in)
+_INT8_ACT_ENV = "ACESTEP_TPU_INT8_ACT"   # 0 (default) | 1
+# Default OFF: weights stream the same int8 bytes either way (dequant happens
+# in VMEM), so int8xint8 only buys MXU throughput — irrelevant when decode is
+# bandwidth/launch bound — and its 16 K=32 sub-dots + VPU rescale loop measured
+# SLOWER than one bf16-dequant dot per tile (2.93 vs 2.66 ms/tok, 0.6B q8_0).
 
 
 def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax.Array:
@@ -268,7 +290,7 @@ def qmm_pallas_nd(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> 
     if (
         qt.fmt == "q8_0"
         and xf.shape[0] <= INT8_ACT_MAX_M
-        and os.environ.get(_INT8_ACT_ENV, "1") != "0"
+        and os.environ.get(_INT8_ACT_ENV, "0") == "1"
     ):
         y = qmm_int8_act(xf, qt, interpret=interpret)
     else:
@@ -340,6 +362,166 @@ def qmm_int8_act(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> j
     out = out * xs            # per-row activation scale, exact
     out = out[:m] if m_pad else out
     return out.astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer variant: x @ dequant(qt[li]) where every QuantTensor field
+# carries a leading layer axis [L, ...].
+#
+# Motivation: scanning a transformer's layers with stacked weights as scan-xs
+# makes XLA materialize each layer's quantized weight slice as an HBM COPY
+# before it can feed a pallas_call (dynamic-slice -> bitcast fusions — the
+# round-2 LM decode profile showed ~0.7 ms/step of these at 0.6B shapes, and
+# the DiT Euler scan pays the same per diffusion step).  Here the layer index
+# is a SCALAR-PREFETCH operand instead: the kernel's index_map addresses tiles
+# of layer ``li`` directly in the stacked HBM buffer, so the weight bytes are
+# read exactly once, by the kernel itself.  The kernel bodies are the same as
+# the per-layer ones — identical blocks arrive in VMEM, so results are
+# bit-identical to qmm_pallas on the sliced layer.
+# ---------------------------------------------------------------------------
+
+def _drop_scalar(kernel):
+    def k2(li_ref, *refs):
+        return kernel(*refs)
+
+    return k2
+
+
+def _index_qt_fields(qt: QuantTensor, li) -> QuantTensor:
+    """Dynamic-index every stacked field at layer ``li`` (XLA fallback path)."""
+    import dataclasses as _dc
+
+    def ix(a):
+        if a is None:
+            return None
+        return jax.lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+
+    return _dc.replace(
+        qt, data=ix(qt.data), data_hi=ix(qt.data_hi), scales=ix(qt.scales),
+        sub_scales=ix(qt.sub_scales), sub_mins=ix(qt.sub_mins),
+        super_scales=ix(qt.super_scales), super_mins=ix(qt.super_mins),
+    )
+
+
+def qmm_pallas_stacked(
+    x: jax.Array, qt: QuantTensor, li: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """x [M, K] @ dequant(qt[li]) [K, N] -> [M, N] bf16; ``qt`` fields are
+    stacked [L, ...]; ``li`` is a traced int32 layer index (scalar prefetch).
+
+    Tile-unfriendly shapes fall back to dynamic-index + XLA dequant dot.
+
+    NOT wrapped in jax.jit: it is always called inside an outer jit (a layer
+    scan body), and a nested-jit call boundary would pin the stacked scale
+    f32 conversions INSIDE the decode loop (measured 3.8 ms/step at 0.6B) —
+    inlined, XLA hoists them out as loop-invariant (and
+    :func:`~acestep_tpu.serving.lm.fuse_serving_params` pre-casts them to f32
+    so the hoisted work is a no-op)."""
+    k_dim, n = qt.shape
+    m = x.shape[0]
+    bn = _pick_bn(n, m)
+    if qt.fmt == "q8_0":
+        bk = _pick_q8_bk(k_dim, m, bn) if bn is not None else None
+    else:
+        bk = Q4_BK if k_dim % Q4_BK == 0 else None
+    if bn is None or bk is None:
+        qt_l = _index_qt_fields(qt, li)
+        wd = dequantize(qt_l, dtype=jnp.bfloat16)
+        return jnp.dot(x.astype(jnp.bfloat16), wd,
+                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    bm = _pick_bm(m)
+    m_pad = (-m) % bm
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    mp = m + m_pad
+
+    x = x.astype(jnp.bfloat16)
+    li_arr = jnp.asarray(li, jnp.int32).reshape(1)
+    grid = (mp // bm, n // bn, k_dim // bk)
+    scale_rows = bk // BLOCK
+
+    x_spec = pl.BlockSpec((bm, bk), lambda i, j, k, li_ref: (i, k),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j, k, li_ref: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    def _lspec(rows):
+        return pl.BlockSpec((None, rows, bn),
+                            lambda i, j, k, li_ref: (li_ref[0], k, j),
+                            memory_space=pltpu.VMEM)
+
+    def _call(kernel, in_specs, operands):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_spec,
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _drop_scalar(kernel),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.bfloat16),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * k_dim * n,
+                bytes_accessed=qt.nbytes // qt.data.shape[0]
+                + mp * k_dim * 2 + mp * n * 2,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(li_arr, x, *operands)
+
+    if qt.fmt == "q8_0":
+        scales = qt.scales.astype(jnp.float32)   # hoisted: loop-invariant
+        out = _call(_q8_kernel, [x_spec, _lspec(bk), _lspec(scale_rows)],
+                    (qt.data, scales))
+    elif qt.fmt == "q4_0":
+        scales = qt.scales.astype(jnp.float32)
+        out = _call(_q4_0_kernel, [x_spec, _lspec(bk // 2), _lspec(scale_rows)],
+                    (qt.data, scales))
+    elif qt.fmt == "q4_k":
+        sub_per_super = SUPER // BLOCK
+        d_eff = _expand_rows_stacked(qt.super_scales.astype(jnp.float32),
+                                     sub_per_super) \
+            * qt.sub_scales.astype(jnp.float32)
+        m_eff = _expand_rows_stacked(qt.super_mins.astype(jnp.float32),
+                                     sub_per_super) \
+            * qt.sub_mins.astype(jnp.float32)
+        out = _call(_q4_k_kernel,
+                    [x_spec, _lspec(bk // 2), _lspec(scale_rows), _lspec(scale_rows)],
+                    (qt.data, d_eff, m_eff))
+    elif qt.fmt == "q6_k":
+        sub_per_super = SUPER // SUB16
+        d_eff = _expand_rows_stacked(qt.super_scales.astype(jnp.float32),
+                                     sub_per_super) \
+            * qt.sub_scales.astype(jnp.float32)
+        out = _call(_q6_k_kernel,
+                    [x_spec, _lspec(bk // 2), _lspec(bk // 4), _lspec(bk // SUB16)],
+                    (qt.data, qt.data_hi, d_eff))
+    else:
+        raise ValueError(f"unsupported quant format: {qt.fmt}")
+
+    return out[:m] if m_pad else out
+
+
+def _expand_rows_stacked(s, reps: int):
+    """[L, B, N] -> [L, B*reps, N] (stacked-layer form of _expand_rows)."""
+    l, b, n = s.shape
+    return jnp.broadcast_to(s[:, :, None, :], (l, b, reps, n)).reshape(l, b * reps, n)
+
+
+def qmm_pallas_stacked_nd(
+    x: jax.Array, qt: QuantTensor, li: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """[..., K] @ dequant(qt[li]) [K, N] -> [..., N] bf16."""
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1])
+    y = qmm_pallas_stacked(xf, qt, li, interpret=interpret)
+    return y.reshape(*lead, qt.shape[1])
 
 
 def _int8_core_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):

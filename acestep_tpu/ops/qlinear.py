@@ -66,6 +66,27 @@ def resolve_backend(backend: Optional[str] = None) -> str:
     return b
 
 
+class StackedWeight:
+    """A stacked weight ``[L, K, N]`` (plain array or QuantTensor with stacked
+    fields) plus a traced layer index — built INSIDE a layer scan body so
+    :func:`linear` can stream layer ``idx`` directly from the stacked HBM
+    buffer (pallas scalar-prefetch) instead of the scan materializing a per-
+    layer slice copy each iteration.  Trace-local: never crosses jit
+    boundaries, so it is not a pytree."""
+
+    __slots__ = ("w", "idx")
+
+    def __init__(self, w: Weight, idx: jax.Array):
+        self.w = w
+        self.idx = idx
+
+    @property
+    def shape(self):
+        if isinstance(self.w, QuantTensor):
+            return self.w.shape
+        return self.w.shape[1:]
+
+
 def linear(
     x: jax.Array,
     w: Weight,
@@ -78,7 +99,9 @@ def linear(
     Output dtype follows ``x``.
     """
     out_dtype = x.dtype
-    if isinstance(w, QuantTensor):
+    if isinstance(w, StackedWeight):
+        y = _linear_stacked(x, w.w, w.idx, backend=backend)
+    elif isinstance(w, QuantTensor):
         b = resolve_backend(backend)
         if b == "pallas":
             from acestep_tpu.ops.pallas.qmm import qmm_pallas_nd
@@ -96,5 +119,112 @@ def linear(
     return y.astype(out_dtype)
 
 
+def _linear_stacked(
+    x: jax.Array, w: Weight, li: jax.Array, *, backend: Optional[str] = None
+) -> jax.Array:
+    """``x [..., K] @ w[li] [K, N]`` for stacked weights (see StackedWeight)."""
+    if isinstance(w, QuantTensor):
+        b = resolve_backend(backend)
+        if b == "pallas":
+            from acestep_tpu.ops.pallas.qmm import qmm_pallas_stacked_nd
+
+            return qmm_pallas_stacked_nd(x, w, li)
+        from acestep_tpu.ops.pallas.qmm import _index_qt_fields
+
+        wd = dequantize(_index_qt_fields(w, li), dtype=jnp.bfloat16)
+        return jnp.dot(
+            x.astype(jnp.bfloat16), wd, preferred_element_type=jnp.float32
+        )
+    w_l = jax.lax.dynamic_index_in_dim(w, li, 0, keepdims=False)
+    return jnp.dot(x, w_l.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
 def weight_shape(w: Weight) -> tuple:
     return tuple(w.shape)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer scan support: keep the big quantized kernels OUT of scan xs
+# (a scan materializes an HBM copy of each per-layer weight slice it feeds to
+# a pallas_call, every iteration) and stream them by traced layer index via
+# the scalar-prefetch kernel instead.
+# ---------------------------------------------------------------------------
+
+def split_stacked_weights(tree):
+    """Split a stacked layer-param tree into (small_tree, [(path, QuantTensor)]).
+
+    Big quantized kernels are replaced with ``None`` placeholders (empty pytree
+    nodes, so scan xs skips them); :func:`rebuild_layer_params` re-inserts them
+    as :class:`StackedWeight` handles inside the scan body."""
+    big = []
+
+    def rec(t, path):
+        if isinstance(t, dict):
+            return {k: rec(v, path + (k,)) for k, v in t.items()}
+        if isinstance(t, QuantTensor):
+            big.append((path, t))
+            return None
+        return t
+
+    return rec(tree, ()), big
+
+
+def rebuild_layer_params(small_slice, big, li):
+    """Per-layer param dict: sliced small leaves + StackedWeight big kernels."""
+
+    def copy(t):
+        return {k: copy(v) for k, v in t.items()} if isinstance(t, dict) else t
+
+    p = copy(small_slice)
+    for path, qt in big:
+        d = p
+        for k in path[:-1]:
+            d = d[k]
+        d[path[-1]] = StackedWeight(qt, li)
+    return p
+
+
+def precast_quant_scales(tree):
+    """Cast every QuantTensor's scale fields to f32 (exact upcast from f16).
+
+    Mosaic rejects f16 scale loads, so kernels take f32 scales; pre-casting at
+    param-prep time makes the in-trace ``astype`` a no-op instead of relying
+    on XLA to hoist per-step conversions out of layer scans.  Costs ~2-3% more
+    HBM residency (scales are 1/16 - 1/32 of weight bytes)."""
+    import dataclasses as _dc
+
+    def fix(qt):
+        def up(a):
+            return None if a is None else a.astype(jnp.float32)
+
+        return _dc.replace(
+            qt, scales=up(qt.scales), super_scales=up(qt.super_scales),
+            super_mins=up(qt.super_mins),
+        )
+
+    return jax.tree_util.tree_map(
+        lambda x: fix(x) if isinstance(x, QuantTensor) else x,
+        tree, is_leaf=lambda x: isinstance(x, QuantTensor),
+    )
+
+
+def use_stacked_weights(layers) -> bool:
+    """True when stacked quantized layers should stream by index (pallas).
+
+    Default OFF (``ACESTEP_TPU_STACKED_W=1`` opts in): measured on v5e, the
+    scalar-prefetch kernel loses to scan-xs slice copies + per-layer kernels
+    (2.67 vs 1.99 ms/tok at 0.6B q8_0 decode) — the dynamically indexed
+    operand defeats Mosaic's cross-grid-step DMA prefetch, which outweighs the
+    copy traffic it avoids.  Kept as an A/B knob and for HBM-tight configs
+    where the copy's transient buffer matters."""
+    if isinstance(layers, list):
+        return False
+    if os.environ.get("ACESTEP_TPU_STACKED_W", "0") != "1":
+        return False
+    if resolve_backend(None) != "pallas":
+        return False
+    return any(
+        isinstance(leaf, QuantTensor)
+        for leaf in jax.tree_util.tree_leaves(
+            layers, is_leaf=lambda x: isinstance(x, QuantTensor))
+    )

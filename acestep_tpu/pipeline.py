@@ -253,8 +253,11 @@ class AceStepEngine:
         silence_latent: Optional[np.ndarray] = None,   # [1, T0, 64] tile-able
         mesh=None,                                     # jax.sharding.Mesh (dp, tp)
     ):
-        # stacked layer layout -> scan-over-layers (one compiled layer body)
-        self.dit_params = dit.stack_params(dit_params)
+        # stacked layer layout -> scan-over-layers (one compiled layer body);
+        # f32-precast scales make the kernels' scale converts init-time no-ops
+        from acestep_tpu.ops.qlinear import precast_quant_scales
+
+        self.dit_params = precast_quant_scales(dit.stack_params(dit_params))
         self.dit_cfg = dit_cfg
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg

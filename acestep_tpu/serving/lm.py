@@ -142,6 +142,14 @@ def _layers_stacked(params) -> bool:
     return not isinstance(params["layers"], list)
 
 
+def _use_stacked_weights(params) -> bool:
+    """Stacked quantized weights + pallas backend -> stream-by-index path
+    (see ops.qlinear.split_stacked_weights)."""
+    from acestep_tpu.ops.qlinear import use_stacked_weights
+
+    return use_stacked_weights(params["layers"])
+
+
 def _qkv_proj(p, xn, b: int, t: int, nh: int, nkv: int, hd: int):
     """q/k/v projections, through the serving-fused qkv weight when present
     (one weight stream + one kernel launch instead of three)."""
@@ -199,7 +207,9 @@ def fuse_serving_params(params: Dict[str, Any]) -> Dict[str, Any]:
         del new_layers[k]
     out = dict(params)
     out["layers"] = new_layers
-    return out
+    from acestep_tpu.ops.qlinear import precast_quant_scales
+
+    return precast_quant_scales(out)
 
 
 def prefill(
@@ -333,8 +343,25 @@ def decode_step(
         # explicit self-term, and the cache write happens ONCE per step below
         # as an aliasable dynamic-update-slice (per-layer scatters inside the
         # scan forced full-cache copies: ~500 us/step at 0.6B shapes).
+        # big quantized kernels leave the scan xs (StackedWeight handles keyed
+        # by the traced layer index stream tiles straight from the stacked HBM
+        # buffers — no per-layer weight-slice copy per step)
+        from acestep_tpu.ops.qlinear import (
+            rebuild_layer_params as _rebuild_layer_params,
+            split_stacked_weights as _split_sw,
+        )
+
+        use_sw = _use_stacked_weights(params)
+        if use_sw:
+            layers_small, big_weights = _split_sw(params["layers"])
+        else:
+            layers_small, big_weights = params["layers"], []
+        n_layers_s = cache.k.shape[0]
+        li_range = jnp.arange(n_layers_s, dtype=jnp.int32)
+
         def scan_body(x, xs):
-            p, kq_l, ks_l, vq_l, vs_l = xs
+            li, p_small, kq_l, ks_l, vq_l, vs_l = xs
+            p = _rebuild_layer_params(p_small, big_weights, li) if use_sw else p_small
             xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
             q, k, v = _qkv_proj(p, xn, b, 1, nh, nkv, hd)
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
@@ -360,11 +387,10 @@ def decode_step(
             # scan form copies each layer's ~2 MB of K/V per step), at the
             # cost of a ~L-times larger compile unit for the decode body.
             outs = []
-            n_layers = cache.k.shape[0]
-            for li in range(n_layers):
-                p_l = jax.tree_util.tree_map(lambda a: a[li], params["layers"])
+            for li in range(n_layers_s):
+                p_l = jax.tree_util.tree_map(lambda a: a[li], layers_small)
                 x, out = scan_body(
-                    x, (p_l, cache.k[li], cache.k_scale[li],
+                    x, (jnp.int32(li), p_l, cache.k[li], cache.k_scale[li],
                         cache.v[li], cache.v_scale[li]))
                 outs.append(out)
             k_new, ks_new, v_new, vs_new = (
@@ -372,7 +398,8 @@ def decode_step(
         else:
             x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
                 scan_body, x,
-                (params["layers"], cache.k, cache.k_scale, cache.v, cache.v_scale),
+                (li_range, layers_small, cache.k, cache.k_scale,
+                 cache.v, cache.v_scale),
                 unroll=int(_os.environ.get("ACESTEP_TPU_DECODE_SCAN_UNROLL", "1")),
             )
         # k_new: [L, B, Hkv, D] -> write at each sequence's position

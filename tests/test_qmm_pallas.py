@@ -79,3 +79,86 @@ def test_linear_dispatch_uses_pallas(monkeypatch):
     y = qlinear.linear(x, qt, backend="pallas")
     assert called.get("yes")
     assert y.shape == (8, 256)
+
+
+# ---------------------------------------------------------------------------
+# stacked-layer (scalar-prefetch) variant
+# ---------------------------------------------------------------------------
+
+def _stacked(fmt, L, k, n, seed=0):
+    rng = np.random.default_rng(seed)
+    ws = [rng.standard_normal((k, n)).astype(np.float32) * 0.05 for _ in range(L)]
+    qts = [quantize_np(w, fmt) for w in ws]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    return qts, stacked
+
+
+@pytest.mark.parametrize("fmt", ["q8_0", "q4_0", "q4_k", "q6_k"])
+def test_stacked_matches_per_layer(fmt):
+    """qmm_pallas_stacked(x, stacked, li) is BIT-identical to qmm_pallas on the
+    sliced layer (same kernel body, same VMEM blocks)."""
+    from acestep_tpu.ops.pallas.qmm import qmm_pallas_stacked
+
+    qts, stacked = _stacked(fmt, 3, 512, 256)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((4, 512)), jnp.bfloat16)
+    for li in range(3):
+        out = qmm_pallas_stacked(x, stacked, jnp.int32(li), interpret=True)
+        ref = qmm_pallas(x, qts[li], interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_stacked_fallback_tile_unfriendly():
+    """N=64 forces the dynamic-index + XLA dequant fallback."""
+    from acestep_tpu.ops.pallas.qmm import qmm_pallas_stacked
+
+    qts, stacked = _stacked("q8_0", 2, 512, 64)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((4, 512)), jnp.bfloat16)
+    for li in range(2):
+        out = np.asarray(qmm_pallas_stacked(x, stacked, jnp.int32(li),
+                                            interpret=True), np.float32)
+        np.testing.assert_allclose(out, _xla_ref(x, qts[li]), atol=1e-2)
+
+
+def test_stacked_weight_linear_dispatch():
+    """linear() on a StackedWeight matches per-layer linear on every backend."""
+    from acestep_tpu.ops import qlinear
+
+    qts, stacked = _stacked("q8_0", 3, 512, 256)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 512)), jnp.bfloat16)
+    for li in range(3):
+        sw = qlinear.StackedWeight(stacked, jnp.int32(li))
+        y = qlinear.linear(x, sw, backend="xla")
+        ref = qlinear.linear(x, qts[li], backend="xla")
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+
+def test_stacked_weight_plain_array():
+    from acestep_tpu.ops import qlinear
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((3, 64, 32)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((5, 64)), jnp.float32)
+    for li in range(3):
+        y = qlinear.linear(x, qlinear.StackedWeight(w, jnp.int32(li)))
+        ref = qlinear.linear(x, w[li])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-6)
+
+
+def test_stacked_inside_scan():
+    """The intended usage: a lax.scan over layer indices with StackedWeight
+    built in the body matches the scan-over-sliced-weights form exactly."""
+    from acestep_tpu.ops import qlinear
+
+    qts, stacked = _stacked("q8_0", 4, 512, 512, seed=5)
+    x0 = jnp.asarray(np.random.default_rng(6).standard_normal((2, 512)), jnp.bfloat16)
+
+    def body_ref(x, qt_l):
+        return qlinear.linear(x, qt_l, backend="xla"), None
+
+    def body_sw(x, li):
+        return qlinear.linear(
+            x, qlinear.StackedWeight(stacked, li), backend="xla"), None
+
+    ref, _ = jax.lax.scan(body_ref, x0, stacked)
+    out, _ = jax.lax.scan(body_sw, x0, jnp.arange(4, dtype=jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
