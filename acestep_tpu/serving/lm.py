@@ -524,8 +524,10 @@ def ensure_quantized_head(params: Dict[str, Any], fmt: Optional[str] = None) -> 
         return params
     # pad the vocab axis to a lane-friendly multiple (Qwen3's 151669 is odd —
     # unpadded it forces the Pallas qmm into its dequant fallback, which costs
-    # MORE than the tied bf16 dot).  lm_logits slices back to vocab_size.
-    pad = (-emb.shape[0]) % 256
+    # MORE than the tied bf16 dot).  2048 lets the decode-shaped kernel take
+    # bn=2048 tiles (~4x fewer grid steps over the head, the single biggest
+    # decode matmul).  lm_logits slices back to vocab_size.
+    pad = (-emb.shape[0]) % 2048
 
     def _build(e):
         w = e.astype(jnp.float32).T
@@ -539,7 +541,7 @@ def ensure_quantized_head(params: Dict[str, Any], fmt: Optional[str] = None) -> 
     return out
 
 
-def _slice_head_cols(w, lo: int, hi: int, eos: Optional[int], pad_multiple: int = 256):
+def _slice_head_cols(w, lo: int, hi: int, eos: Optional[int], pad_multiple: int = 2048):
     """Column-slice a head weight [K, V] to ``[lo, hi)`` (+ the EOS column),
     zero-padded to a lane multiple.  All quant formats pack along K, so every
     field slices cleanly along N.  Returns (reduced_weight, n_range, n_valid).

@@ -242,7 +242,7 @@ class TestReducedCodesHead:
         pq = qwen.stack_params(quantize_tree_jax(p, "q8_0"))  # quantize pre-stack
         pq = lm.ensure_quantized_head(pq)
         assert isinstance(pq["lm_head"]["kernel"], QuantTensor)
-        assert pq["lm_head"]["kernel"].shape == (256, 512)
+        assert pq["lm_head"]["kernel"].shape == (256, 2048)  # vocab padded to 2048
         # unquantized params: no head added
         assert lm.ensure_quantized_head(p).get("lm_head") is None
 
@@ -251,7 +251,7 @@ class TestReducedCodesHead:
         from acestep_tpu.ops import linear
 
         tied = np.asarray(qwen.lm_logits(p, cfg, x))[0, 0]
-        qhead = np.asarray(linear(x, pq["lm_head"]["kernel"]))[0, 0]
+        qhead = np.asarray(linear(x, pq["lm_head"]["kernel"]))[0, 0][: cfg.vocab_size]
         cos = np.dot(tied, qhead) / (np.linalg.norm(tied) * np.linalg.norm(qhead) + 1e-9)
         assert cos > 0.999
 
