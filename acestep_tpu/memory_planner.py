@@ -139,9 +139,13 @@ def plan_request(
         b -= 1
     dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
 
-    # qmm backend for this bucket: XLA-dequant (faster; hoists dequant out of
-    # the 8-step scan) when the transient bf16 weight copy fits on top of the
-    # activations with 1 GiB to spare, else the fused Pallas streaming path
+    # qmm backend for this bucket: XLA-dequant (hoists dequant out of the
+    # 8-step scan; measured faster at every benched shape, e.g. 28 vs 41
+    # ms/step at 60 s q4_0) when the transient bf16 weight copy fits on top of
+    # the activations with 1 GiB to spare, else the pallas streaming path —
+    # which since round 2 runs in its STACKED scalar-prefetch form in the DiT
+    # layer scan (no per-layer weight-slice copies: 88 vs 171 ms diffusion per
+    # 10 s clip q8_0 vs the per-layer kernels)
     qmm_backend = (
         "xla"
         if dit_bf16_bytes and budget - dit_bytes >= dit_bf16_bytes + GiB

@@ -532,7 +532,7 @@ def forward(
         # layer's quantized weights on EVERY diffusion step
         from acestep_tpu.ops import qlinear as _ql
 
-        use_sw = _ql.use_stacked_weights(layers)
+        use_sw = _ql.use_stacked_weights(layers, default=True)
         if use_sw:
             layers_xs, big_w = _ql.split_stacked_weights(layers)
         else:

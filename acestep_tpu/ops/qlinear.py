@@ -208,18 +208,26 @@ def precast_quant_scales(tree):
     )
 
 
-def use_stacked_weights(layers) -> bool:
+def use_stacked_weights(layers, default: bool = False) -> bool:
     """True when stacked quantized layers should stream by index (pallas).
 
-    Default OFF (``ACESTEP_TPU_STACKED_W=1`` opts in): measured on v5e, the
-    scalar-prefetch kernel loses to scan-xs slice copies + per-layer kernels
-    (2.67 vs 1.99 ms/tok at 0.6B q8_0 decode) — the dynamically indexed
-    operand defeats Mosaic's cross-grid-step DMA prefetch, which outweighs the
-    copy traffic it avoids.  Kept as an A/B knob and for HBM-tight configs
-    where the copy's transient buffer matters."""
+    Per-call-site defaults, from v5e measurements (ACESTEP_TPU_STACKED_W=0/1
+    forces globally):
+      * LM decode (M<=16): default OFF — the scalar-prefetch kernel loses to
+        scan-xs slice copies + per-layer kernels (2.67 vs 1.99 ms/tok at 0.6B
+        q8_0): the dynamically indexed operand defeats Mosaic's cross-grid-
+        step DMA prefetch, and at tiny M the per-call overhead dominates.
+      * DiT Euler scan (M=Tp>=128): default ON — longer grids amortize the
+        prefetch, the per-layer slice copies it avoids scale with weight
+        bytes (0.2019 vs 0.2397 s per 10 s clip vs per-layer pallas), and no
+        transient bf16 weight copy is needed (vs the XLA-dequant path)."""
     if isinstance(layers, list):
         return False
-    if os.environ.get("ACESTEP_TPU_STACKED_W", "0") != "1":
+    env = os.environ.get("ACESTEP_TPU_STACKED_W")
+    if env in ("0", "1"):
+        if env == "0":
+            return False
+    elif not default:
         return False
     if resolve_backend(None) != "pallas":
         return False
