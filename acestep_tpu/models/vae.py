@@ -427,6 +427,81 @@ def tiled_decode(
     return _host_fetch(supers)
 
 
+def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
+    """Decode + trim every window; returns the ordered pieces (device arrays).
+
+    Windows are grouped by (size, trim) signature: interior windows share one
+    signature and run through ``lax.map(batch_size=max_window_batch)`` so the
+    decode body compiles ONCE per signature, executes in bounded-HBM groups,
+    and XLA reuses activation buffers across iterations."""
+    from collections import defaultdict
+
+    b = latents.shape[0]
+    groups = defaultdict(list)
+    for idx, (cs, ce, ws, we) in enumerate(windows):
+        groups[(we - ws, cs - ws, we - ce)].append(idx)
+    decoded: dict = {}
+    for (size, tf0, tf1), idxs in groups.items():
+        if b == 1 and len(idxs) > 1:
+            stacked = jnp.concatenate(
+                [latents[:, windows[i][2]:windows[i][3], :] for i in idxs],
+                axis=0,
+            )                                   # [Nw, size, C]
+            audio = jax.lax.map(
+                lambda x: decode(params, cfg, x[None])[0],
+                stacked,
+                batch_size=min(max_window_batch, len(idxs)),
+            )                                   # [Nw, size*ups, Cout]
+            ups = audio.shape[1] / size
+            t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
+            trimmed = audio[:, t0:audio.shape[1] - t1, :]
+            for j, i in enumerate(idxs):
+                decoded[i] = trimmed[j:j + 1]
+        else:
+            for i in idxs:
+                ws, we = windows[i][2], windows[i][3]
+                audio = decode(params, cfg, latents[:, ws:we, :])
+                ups = audio.shape[1] / size
+                t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
+                decoded[i] = audio[:, t0:audio.shape[1] - t1, :]
+    return [decoded[i] for i in range(len(windows))]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "windows", "max_window_batch"),
+)
+def fused_decode_windows_int16(
+    params: Params,
+    cfg: VAEConfig,
+    latents: jax.Array,              # [1, T_seg, 64] (segment slice)
+    windows: Tuple[Tuple[int, int, int, int], ...],   # SEGMENT-RELATIVE
+    max_window_batch: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """One SEGMENT of a segmented tiled decode: decode the given (relative)
+    windows, trim, concat, and int16-quantize at this segment's own peak scale
+    -> (i16 flat [L_seg*C], scale []).
+
+    The segmented path (pipeline.generate) enqueues every segment
+    asynchronously and then fetches them in order, so device→host transfer of
+    segment g overlaps compute of segments g+1.. (measured 0.8 overlap factor
+    through the dev tunnel; host-side reassembly is avoided by keeping the
+    segments separate all the way into the WAV/FLAC writers — a 116 MB host
+    concat costs ~2.8 s in this sandbox).  Windows are passed RELATIVE to the
+    segment's latent slice so interior segments share one compiled program.
+
+    Per-segment scales follow the same WAV-output semantics as
+    ``fused_tiled_decode_int16``; the caller reconciles them to the global
+    peak (scales only differ when some segment's peak exceeds 0.99)."""
+    pieces = _decode_window_groups(params, cfg, latents, list(windows),
+                                   max_window_batch)
+    full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
+    full = full.astype(jnp.float32)
+    peak = jnp.max(jnp.abs(full))
+    scale = 32767.0 * jnp.where(peak > 0.99, 0.99 / jnp.maximum(peak, 1e-12), 1.0)
+    i16 = jnp.clip(jnp.round(full * scale), -32768.0, 32767.0).astype(jnp.int16)
+    return i16.reshape(-1), scale
+
+
 def _window_plan(t: int, chunk_frames: int, overlap_frames: Optional[int]):
     """Static overlap-discard window plan (same semantics as tiled_decode)."""
     if overlap_frames is None:
@@ -488,38 +563,8 @@ def fused_tiled_decode_int16(
         pieces = [decode(params, cfg, latents)]
     else:
         windows = _window_plan(t, chunk_frames, overlap_frames)
-        # group by (window size, frame trims): interior windows share one
-        # signature; first/last/clipped windows form tiny groups of their own
-        from collections import defaultdict
-
-        groups = defaultdict(list)
-        for idx, (cs, ce, ws, we) in enumerate(windows):
-            groups[(we - ws, cs - ws, we - ce)].append(idx)
-        decoded: dict = {}
-        for (size, tf0, tf1), idxs in groups.items():
-            if b == 1 and len(idxs) > 1:
-                stacked = jnp.concatenate(
-                    [latents[:, windows[i][2]:windows[i][3], :] for i in idxs],
-                    axis=0,
-                )                                   # [Nw, size, C]
-                audio = jax.lax.map(
-                    lambda x: decode(params, cfg, x[None])[0],
-                    stacked,
-                    batch_size=min(max_window_batch, len(idxs)),
-                )                                   # [Nw, size*ups, Cout]
-                ups = audio.shape[1] / size
-                t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
-                trimmed = audio[:, t0:audio.shape[1] - t1, :]
-                for j, i in enumerate(idxs):
-                    decoded[i] = trimmed[j:j + 1]
-            else:
-                for i in idxs:
-                    ws, we = windows[i][2], windows[i][3]
-                    audio = decode(params, cfg, latents[:, ws:we, :])
-                    ups = audio.shape[1] / size
-                    t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
-                    decoded[i] = audio[:, t0:audio.shape[1] - t1, :]
-        pieces = [decoded[i] for i in range(len(windows))]
+        pieces = _decode_window_groups(params, cfg, latents, windows,
+                                       max_window_batch)
     full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
     full = full.astype(jnp.float32)
     peak = jnp.max(jnp.abs(full))

@@ -182,15 +182,34 @@ class GenerationResult:
         audio_lengths: Optional[List[int]] = None,     # per-item valid samples
         audio_i16: Optional[np.ndarray] = None,        # [B, L, C] int16 PCM
         audio_scale: float = 32767.0,                  # f32 = i16 / audio_scale
+        audio_i16_segments: Optional[List[np.ndarray]] = None,  # [[B, Lg, C]]
     ):
         self.latents = latents
         self.sample_rate = sample_rate
         self.time_costs = time_costs
         self.seeds = seeds
         self.audio_lengths = audio_lengths
-        self.audio_i16 = audio_i16
+        self._audio_i16 = audio_i16
+        # segmented decode keeps the PCM as time-contiguous segments so the
+        # hot path never pays a large host concat (~41 MB/s in this sandbox);
+        # writers stream them, .audio_i16 concatenates lazily on demand
+        self._segments = audio_i16_segments
         self.audio_scale = float(audio_scale)
         self._audio_f32 = None if audio is None else np.asarray(audio)
+
+    @property
+    def audio_i16(self) -> Optional[np.ndarray]:
+        """[B, L, C] int16 PCM (lazily concatenated when segmented)."""
+        if self._audio_i16 is None and self._segments is not None:
+            self._audio_i16 = np.concatenate(self._segments, axis=1)
+        return self._audio_i16
+
+    def pcm16_segments(self) -> List[np.ndarray]:
+        """Time-contiguous PCM segments [B, Lg, C] (one element when whole);
+        writers consume these without reassembly."""
+        if self._segments is not None:
+            return self._segments
+        return [self.pcm16()]
 
     @property
     def audio(self) -> np.ndarray:
@@ -215,6 +234,20 @@ class GenerationResult:
         if peak > 0.99:
             a = a * (0.99 / peak)
         return np.round(np.clip(a, -1.0, 1.0) * 32767.0).astype(np.int16)
+
+
+def _segment_windows_env(chunk_frames: int) -> int:
+    """Windows per decode segment for the overlapped segmented path
+    (ACESTEP_TPU_VAE_SEGMENT_WINDOWS overrides; 0 disables).  Default targets
+    ~2048 latent frames (~82 s of audio, ~16 MB int16) per segment fetch
+    regardless of the plan's chunk size."""
+    env = os.environ.get("ACESTEP_TPU_VAE_SEGMENT_WINDOWS")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            pass
+    return max(2, 2048 // max(chunk_frames, 1))
 
 
 def _fence(x: jax.Array) -> None:
@@ -606,6 +639,61 @@ class AceStepEngine:
         # compile shapes are stable.  When the chunk covers the whole song the
         # decode is a SINGLE dispatch (frame buckets keep compiles bounded).
         vae_chunk = int(min(max(plan.vae_chunk_frames, 32), 512))
+        seg_windows = _segment_windows_env(vae_chunk)
+        windows = (
+            vae._window_plan(t_valid, vae_chunk, None)
+            if vae_chunk < t_valid else []
+        )
+        if (
+            os.environ.get("ACESTEP_TPU_VAE_FUSED", "1") != "0"
+            and b == 1
+            and seg_windows > 0
+            and len(windows) >= 2 * seg_windows
+        ):
+            # SEGMENTED decode: enqueue every segment's (decode+trim+int16)
+            # program asynchronously, then fetch them oldest-first — the d2h
+            # transfer of segment g overlaps compute of segments g+1..
+            # (0.8 overlap factor measured through the dev tunnel).  Windows
+            # are re-based per segment so interior segments share one compile.
+            handles = []
+            for s0 in range(0, len(windows), seg_windows):
+                seg = windows[s0:s0 + seg_windows]
+                lo, hi = seg[0][2], seg[-1][3]
+                rel = tuple(
+                    (cs - lo, ce - lo, ws - lo, we - lo) for cs, ce, ws, we in seg
+                )
+                handles.append(vae.fused_decode_windows_int16(
+                    self.vae_params, self.vae_cfg,
+                    latents_valid[:, lo:hi, :], rel,
+                    max_window_batch=plan.vae_window_batch,
+                ))
+            fetched = [jax.device_get(h) for h in handles]
+            latents_np = np.asarray(jax.device_get(latents_valid), np.float32)
+            scales = [float(s) for _, s in fetched]
+            scale = min(scales)
+            segments = []
+            for (i16_g, _), s_g in zip(fetched, scales):
+                seg_arr = np.asarray(i16_g).reshape(1, -1, self.vae_cfg.audio_channels)
+                if s_g != scale:
+                    # only when some segment peaked >0.99: re-quantize this
+                    # segment at the global scale (<=1 LSB double rounding on
+                    # a few-MB segment; the quiet-audio path never pays it)
+                    seg_arr = np.round(
+                        seg_arr.astype(np.float32) * (scale / s_g)
+                    ).astype(np.int16)
+                segments.append(seg_arr)
+            time_costs["vae_time_cost"] = time.perf_counter() - t2
+            time_costs["vae_overlapped"] = 1.0
+            time_costs["total_time_cost"] = time.perf_counter() - t0
+            return GenerationResult(
+                audio_i16_segments=segments,
+                audio_scale=float(scale),
+                latents=latents_np,
+                sample_rate=self.vae_cfg.sampling_rate,
+                time_costs=time_costs,
+                seeds=seeds,
+                audio_lengths=[v * self.vae_cfg.hop_length for v in item_valid],
+            )
         if os.environ.get("ACESTEP_TPU_VAE_FUSED", "1") != "0":
             # whole tiled decode as ONE jitted program + one fetch that also
             # carries the latents (per-dispatch/per-fetch roundtrips cost

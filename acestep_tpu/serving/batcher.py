@@ -144,6 +144,10 @@ def merge_requests(reqs: List[GenerationRequest]) -> GenerationRequest:
 
 
 def split_result(result: GenerationResult, sizes: List[int]) -> List[GenerationResult]:
+    if len(sizes) == 1:
+        # single request: pass through untouched (keeps segmented PCM from the
+        # overlapped decode path segmented — no lazy concat for long songs)
+        return [result]
     outs = []
     i = 0
     for n in sizes:

@@ -98,16 +98,17 @@ def make_generate_fn(engine, tokenizer=None):
         )
         res = engine.generate(req)
         # already peak-normalized 16-bit PCM from the device (audio_utils.py:24
-        # semantics); no host float round-trip
-        audio = res.pcm16()[0]
+        # semantics); segments pass through without host reassembly
+        segments = [s[0] for s in res.pcm16_segments()]
         fmt = p.str("audio_format", "wav").lower()
         if fmt == "flac":
+            audio = segments[0] if len(segments) == 1 else np.concatenate(segments, axis=0)
             audio_b64 = base64.b64encode(encode_flac(audio, res.sample_rate)).decode()
         else:
             from acestep_tpu.utils.audio import wav_bytes
 
             fmt = "wav"
-            audio_b64 = base64.b64encode(wav_bytes(audio, res.sample_rate)).decode()
+            audio_b64 = base64.b64encode(wav_bytes(segments, res.sample_rate)).decode()
         out = {
             "audio_base64": audio_b64,
             "audio_format": fmt,

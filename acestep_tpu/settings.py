@@ -27,9 +27,11 @@ KNOBS = {
     "lm_quant": ("ACESTEP_TPU_LM_QUANT", str, None),
     "sampler_mode": ("ACESTEP_TPU_SAMPLER", str, "step"),          # step | scan
     "qmm_backend": ("ACESTEP_TPU_QMM_BACKEND", str, "auto"),       # auto | xla | pallas
-    "int8_act": ("ACESTEP_TPU_INT8_ACT", bool, True),
+    "int8_act": ("ACESTEP_TPU_INT8_ACT", bool, False),
+    "stacked_weights": ("ACESTEP_TPU_STACKED_W", str, None),       # 0|1 forces; default per call site
     "blocked_attn_min": ("ACESTEP_TPU_BLOCKED_ATTN_MIN", int, 1536),
     "vae_window_batch": ("ACESTEP_TPU_VAE_WINDOW_BATCH", int, None),
+    "vae_segment_windows": ("ACESTEP_TPU_VAE_SEGMENT_WINDOWS", int, None),  # 0 disables overlap
     "max_hbm_gb": ("ACESTEP_TPU_MAX_HBM_GB", float, None),
     "api_key": ("ACESTEP_TPU_API_KEY", str, None),
     "genres_file": ("ACESTEP_TPU_GENRES_FILE", str, None),

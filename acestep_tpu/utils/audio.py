@@ -12,64 +12,64 @@ from typing import Tuple
 import numpy as np
 
 
-def write_wav(path: str, audio: np.ndarray, sample_rate: int = 48000) -> None:
-    """Write [L, C] audio (samples-major) as 16-bit PCM.
+def _pcm_segments(audio) -> list:
+    """Normalize input (one [L, C] array or a list of time-contiguous
+    segments) to a list of contiguous little-endian int16 [L, C] arrays.
 
     Float input is clipped to [-1, 1] and scaled by 32767.  int16 input is
-    written AS-IS with zero copies (one buffered file write of the array
-    memory) — the serving path hands the device's already-quantized PCM
-    straight through, which matters in this sandbox where every large fresh
-    host allocation page-faults at ~20 MB/s.
+    passed through with zero copies — the serving path hands the device's
+    already-quantized PCM (possibly segmented) straight through, which matters
+    in this sandbox where large fresh host allocations page-fault at ~40 MB/s.
     """
-    audio = np.asarray(audio)
-    if audio.ndim == 1:
-        audio = audio[:, None]
-    n_samples, n_channels = audio.shape
-    if audio.dtype == np.int16:
-        pcm = np.ascontiguousarray(audio)      # no-op for the device payload
-    else:
-        pcm = np.clip(audio.astype(np.float64), -1.0, 1.0)
-        pcm = np.ascontiguousarray(np.round(pcm * 32767.0).astype("<i2"))
-    n_bytes = pcm.nbytes
+    segs = list(audio) if isinstance(audio, (list, tuple)) else [audio]
+    out = []
+    for a in segs:
+        a = np.asarray(a)
+        if a.ndim == 1:
+            a = a[:, None]
+        if a.dtype == np.int16:
+            out.append(np.ascontiguousarray(a))
+        else:
+            a = np.clip(a.astype(np.float64), -1.0, 1.0)
+            out.append(np.ascontiguousarray(np.round(a * 32767.0).astype("<i2")))
+    return out
 
+
+def _wav_header(n_bytes: int, n_channels: int, sample_rate: int) -> bytes:
     byte_rate = sample_rate * n_channels * 2
-    block_align = n_channels * 2
-    header = (
-        b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVEfmt "
-        + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
-                      byte_rate, block_align, 16)
-        + b"data" + struct.pack("<I", n_bytes)
-    )
-    # buffering=0: BufferedWriter chunk-copies large payloads through fresh
-    # buffers, which page-fault at ~10 MB/s in this sandbox (measured 16 s for
-    # a 600 s song vs 0.04 s raw) — write the PCM memory directly instead
-    with open(path, "wb", buffering=0) as f:
-        f.write(header)
-        f.write(memoryview(pcm).cast("B"))     # interleaved (samples-major)
-
-
-def wav_bytes(audio: np.ndarray, sample_rate: int = 48000) -> bytes:
-    """16-bit WAV as in-memory bytes (same semantics as write_wav) — the
-    serving path base64-encodes the payload, so a temp-file round trip is
-    pure overhead."""
-    audio = np.asarray(audio)
-    if audio.ndim == 1:
-        audio = audio[:, None]
-    n_samples, n_channels = audio.shape
-    if audio.dtype == np.int16:
-        pcm = np.ascontiguousarray(audio)
-    else:
-        pcm = np.clip(audio.astype(np.float64), -1.0, 1.0)
-        pcm = np.ascontiguousarray(np.round(pcm * 32767.0).astype("<i2"))
-    n_bytes = pcm.nbytes
-    byte_rate = sample_rate * n_channels * 2
-    header = (
+    return (
         b"RIFF" + struct.pack("<I", 36 + n_bytes) + b"WAVEfmt "
         + struct.pack("<IHHIIHH", 16, 1, n_channels, sample_rate,
                       byte_rate, n_channels * 2, 16)
         + b"data" + struct.pack("<I", n_bytes)
     )
-    return header + pcm.tobytes()
+
+
+def write_wav(path: str, audio, sample_rate: int = 48000) -> None:
+    """Write audio ([L, C] array, or a LIST of time-contiguous segments from
+    the overlapped segmented decode) as 16-bit PCM — segments stream to the
+    file without host reassembly."""
+    segs = _pcm_segments(audio)
+    n_channels = segs[0].shape[1]
+    n_bytes = sum(s.nbytes for s in segs)
+    # buffering=0: BufferedWriter chunk-copies large payloads through fresh
+    # buffers, which page-fault at ~10 MB/s in this sandbox (measured 16 s for
+    # a 600 s song vs 0.04 s raw) — write the PCM memory directly instead
+    with open(path, "wb", buffering=0) as f:
+        f.write(_wav_header(n_bytes, n_channels, sample_rate))
+        for s in segs:
+            f.write(memoryview(s).cast("B"))   # interleaved (samples-major)
+
+
+def wav_bytes(audio, sample_rate: int = 48000) -> bytes:
+    """16-bit WAV as in-memory bytes (same semantics as write_wav; accepts a
+    segment list) — the serving path base64-encodes the payload, so a
+    temp-file round trip is pure overhead."""
+    segs = _pcm_segments(audio)
+    n_bytes = sum(s.nbytes for s in segs)
+    parts = [_wav_header(n_bytes, segs[0].shape[1], sample_rate)]
+    parts.extend(s.tobytes() for s in segs)
+    return b"".join(parts)
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
@@ -163,6 +163,8 @@ class AudioSaver:
         if fmt == "flac":
             from acestep_tpu.utils import flac as _flac
 
+            if isinstance(audio, (list, tuple)):   # segmented decode output
+                audio = np.concatenate([np.asarray(a) for a in audio], axis=0)
             out = root + ".flac"
             _flac.write_flac(out, audio, sample_rate)
             return out

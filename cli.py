@@ -161,7 +161,7 @@ def main(argv=None):
             req.refer_latents = rng.standard_normal((1, n, 750, 64)).astype(np.float32)
 
     res = engine.generate(req)
-    write_wav(args.out, res.pcm16()[0], res.sample_rate)
+    write_wav(args.out, [s[0] for s in res.pcm16_segments()], res.sample_rate)
     print(json.dumps({
         "mode": "pipeline",
         "out": args.out,
