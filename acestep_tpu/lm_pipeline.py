@@ -371,14 +371,15 @@ class LMPipeline:
 
     @staticmethod
     def _qmm_backend():
-        """Trace-time qmm backend for LM dispatches.  "xla" by default: XLA
-        hoists weight dequant out of the prefill/decode scans, and the
-        transient bf16 copy of a 0.6-1.7B LM is small; measured faster than
-        the fused kernels at both prefill and decode shapes."""
+        """Trace-time qmm backend for LM dispatches.  "auto" (pallas on TPU,
+        xla elsewhere): since the decode-shaped fat-tile kernels landed, the
+        pallas path streams the quantized bytes at 1.84 ms/token vs the
+        XLA-dequant path's 3.3 (0.6B q8_0; configs[2] LM phase 2.0 -> 1.5 s).
+        ACESTEP_TPU_LM_QMM_BACKEND overrides."""
         from acestep_tpu.ops import qlinear
 
         return qlinear.trace_backend(
-            os.environ.get("ACESTEP_TPU_LM_QMM_BACKEND", "xla"))
+            os.environ.get("ACESTEP_TPU_LM_QMM_BACKEND", "auto"))
 
     @staticmethod
     def _bucket(ids):
