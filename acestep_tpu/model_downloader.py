@@ -59,3 +59,36 @@ def resolve(component: str, path: Optional[str] = None,
         raise RuntimeError(
             f"no connectivity to huggingface.co and modelscope unavailable: {e}"
         ) from e
+
+
+def main(argv=None):
+    """``acestep-tpu-download`` console entry (acestep-download analog):
+    resolve/download one or all known components into the cache dir."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Download ACE-Step checkpoints (HF <-> ModelScope failover)")
+    ap.add_argument("components", nargs="*", default=[],
+                    help=f"components or repo ids (default: main); known: "
+                         f"{', '.join(COMPONENTS)}")
+    ap.add_argument("--all", action="store_true", help="fetch every known component")
+    ap.add_argument("--cache-dir", default=DEFAULT_CACHE)
+    ap.add_argument("--check", action="store_true",
+                    help="only report cache state, never download")
+    args = ap.parse_args(argv)
+
+    wanted = list(COMPONENTS) if args.all else (args.components or ["main"])
+    status = 0
+    for comp in wanted:
+        try:
+            local = resolve(comp, cache_dir=args.cache_dir,
+                            allow_download=not args.check)
+            print(f"{comp}: {local}")
+        except (FileNotFoundError, RuntimeError) as e:
+            print(f"{comp}: MISSING ({e})")
+            status = 1
+    return status
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

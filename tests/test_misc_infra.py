@@ -45,3 +45,14 @@ def test_studio_served():
         assert "ACE-Step" in body and "release_task" in body
     finally:
         srv.stop()
+
+
+def test_downloader_cli_check(tmp_path, capsys):
+    from acestep_tpu.model_downloader import main
+
+    (tmp_path / "ACE-Step__acestep-v15-turbo").mkdir()
+    (tmp_path / "ACE-Step__acestep-v15-turbo" / "model.safetensors").write_bytes(b"x")
+    rc = main(["--check", "dit_turbo", "--cache-dir", str(tmp_path)])
+    assert rc == 0 and "dit_turbo:" in capsys.readouterr().out
+    rc = main(["--check", "lm_4B", "--cache-dir", str(tmp_path)])
+    assert rc == 1
