@@ -172,6 +172,42 @@ def main(argv=None):
     return 0
 
 
+def edit_formatted_prompt(caption, lyrics, editor=None):
+    """Round-trip caption/lyrics through $EDITOR as a formatted prompt file
+    (reference cli.py:213-234).  Section headers survive the edit; unchanged
+    or aborted edits return the inputs untouched."""
+    import os
+    import subprocess
+    import tempfile
+
+    editor = editor or os.environ.get("EDITOR", "vi")
+    doc = f"# caption (one line)\n{caption}\n\n# lyrics\n{lyrics}\n"
+    with tempfile.NamedTemporaryFile("w", suffix=".prompt.txt", delete=False) as f:
+        f.write(doc)
+        path = f.name
+    try:
+        if subprocess.call([*editor.split(), path]) != 0:
+            return caption, lyrics
+        with open(path) as f:
+            lines = f.read().splitlines()
+    finally:
+        os.unlink(path)
+    section, cap_lines, lyr_lines = None, [], []
+    for ln in lines:
+        low = ln.strip().lower()
+        if low.startswith("# caption"):
+            section = "caption"
+        elif low.startswith("# lyrics"):
+            section = "lyrics"
+        elif section == "caption" and ln.strip():
+            cap_lines.append(ln.strip())
+        elif section == "lyrics":
+            lyr_lines.append(ln)
+    new_caption = " ".join(cap_lines) or caption
+    new_lyrics = "\n".join(lyr_lines).strip()
+    return new_caption, new_lyrics
+
+
 def run_wizard(args):
     """Interactive flow (analog of the reference's cli.py wizard: prompts for
     caption/lyrics/settings, optional TOML config load, then generates)."""
@@ -194,6 +230,8 @@ def run_wizard(args):
 
     caption = ask("Caption / style", cfg.get("caption", "dreamy synthwave"))
     lyrics = ask("Lyrics (blank = instrumental)", cfg.get("lyrics", ""))
+    if ask("Edit formatted prompt in $EDITOR? (y/N)", "n").lower().startswith("y"):
+        caption, lyrics = edit_formatted_prompt(caption, lyrics)
     duration = float(ask("Duration seconds", str(cfg.get("duration", 30))))
     seed = int(ask("Seed", str(cfg.get("seed", 0))))
     out = ask("Output wav", cfg.get("out", "output.wav"))

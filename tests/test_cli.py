@@ -68,3 +68,20 @@ def test_cli_text_encoder(monkeypatch, capsys, tmp_path):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["mode"] == "text-encoder"
     assert info["shape"][1] == 5
+
+
+def test_edit_formatted_prompt(tmp_path):
+    """$EDITOR round-trip: a sed-as-editor rewrite lands in caption/lyrics."""
+    import cli
+
+    ed = tmp_path / "ed.sh"
+    ed.write_text("#!/bin/sh\nsed -i 's/synthwave/jazz fusion/' \"$1\"\n")
+    ed.chmod(0o755)
+    cap, lyr = cli.edit_formatted_prompt(
+        "dreamy synthwave", "la la", editor=str(ed))
+    assert cap == "dreamy jazz fusion" and lyr == "la la"
+    # failing editor leaves inputs untouched
+    bad = tmp_path / "bad.sh"
+    bad.write_text("#!/bin/sh\nexit 1\n")
+    bad.chmod(0o755)
+    assert cli.edit_formatted_prompt("a", "b", editor=str(bad)) == ("a", "b")
