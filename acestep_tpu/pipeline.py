@@ -644,6 +644,12 @@ class AceStepEngine:
             vae._window_plan(t_valid, vae_chunk, None)
             if vae_chunk < t_valid else []
         )
+        # any song with >=2 windows gets >=2 segments: when the fetch is
+        # tunnel-bound, wall time ~= first-segment compute + total fetch, so
+        # splitting mid-length songs (60-240 s at chunk 512: 3-7 windows, one
+        # 2048-frame segment before) hides most of the decode compute
+        if len(windows) >= 2:
+            seg_windows = min(seg_windows, max(1, len(windows) // 2))
         if (
             os.environ.get("ACESTEP_TPU_VAE_FUSED", "1") != "0"
             and b == 1
