@@ -40,11 +40,34 @@ Q4_BK = FOLD  # 256: one fold group per K-tile
 
 SMALL_M = 32             # decode-shaped: grid-step overhead dominates, so use
                          # the largest tiles VMEM allows (fewer, fatter steps)
+MID_M = 1024             # batch-1 DiT Euler shapes (Tp 128-768): still fat
+                         # tiles — thin 256x512 tiles measured 2x slower
+                         # (3.0 vs 6.1 ms/step of kernel time at 10 s q8_0)
 _TILE_BYTES_CAP = 1 << 21  # ~2 MB data tile (+ double buffering) well under VMEM
 
 
-def _pick_bn(n: int, m: Optional[int] = None) -> Optional[int]:
-    cands = (2048, 1024, 512, 256, 128) if (m is not None and m <= SMALL_M) \
+def _env_tile(name: str) -> Optional[int]:
+    """Tuning override (ACESTEP_TPU_QMM_BN / _BK), used by the tile sweeps in
+    tools/profile_dit_step.py; unset in production."""
+    import os
+
+    v = os.environ.get(name)
+    return int(v) if v else None
+
+
+def _pick_bn(n: int, m: Optional[int] = None, four_bit: bool = False) -> Optional[int]:
+    env = _env_tile("ACESTEP_TPU_QMM_BN")
+    if env and n % env == 0:
+        return env
+    # decode (m<=32) AND mid-M (DiT Euler at batch-1, m <= MID_M) both want fat
+    # tiles: grid-step overhead dominates thin ones (a 10 s DiT step spent
+    # 6.1 ms in qmm kernels at bn=256/bk=512 vs 3.0 at 1024x1024 — device
+    # trace 2026-08, ~1.5 ms streaming floor).  4-bit kernels unfold nibbles
+    # per tile, so their sweet spot caps at bn=1024 (m=8 sweep 2026-08:
+    # bn=2048 measured 25-30 us vs 17-20 at bn=1024 on q4_0 LM shapes)
+    cands = ((1024, 512, 256, 128) if four_bit else (2048, 1024, 512, 256, 128)) \
+        if (m is not None and m <= SMALL_M) \
+        else (1024, 512, DEFAULT_BN, 128) if (m is not None and m <= MID_M) \
         else (DEFAULT_BN, 128)
     for bn in cands:
         if n % bn == 0:
@@ -53,14 +76,40 @@ def _pick_bn(n: int, m: Optional[int] = None) -> Optional[int]:
 
 
 def _pick_q8_bk(k_dim: int, m: int, bn: int) -> Optional[int]:
-    """q8_0 K-tile: bigger for decode shapes, capped by the VMEM tile budget."""
+    """q8_0 K-tile: bigger for decode/mid-M shapes, capped by the VMEM tile
+    budget."""
+    env = _env_tile("ACESTEP_TPU_QMM_BK")
+    if env and k_dim % env == 0:
+        return env
     if m <= SMALL_M:
         for bk in (4096, 2048, 1024, Q8_BK):
+            if k_dim % bk == 0 and bk * bn <= _TILE_BYTES_CAP:
+                return bk
+    elif m <= MID_M:
+        for bk in (1024, Q8_BK):
             if k_dim % bk == 0 and bk * bn <= _TILE_BYTES_CAP:
                 return bk
     if k_dim % Q8_BK == 0:
         return Q8_BK
     return k_dim if k_dim % BLOCK == 0 else None
+
+
+def _pick_q4_bk(k_dim: int, m: int, bn: Optional[int]) -> Optional[int]:
+    """4-bit K-tile: a multiple of the 256-row fold group (the kernels unfold
+    G = bk/256 groups per grid step), fatter for small/mid M."""
+    if bn is None:
+        return None
+    env = _env_tile("ACESTEP_TPU_QMM_BK")
+    if env and k_dim % env == 0 and env % Q4_BK == 0:
+        return env
+    if m <= SMALL_M:
+        # decode: fat bk halves wall time (m=8 sweep: bn=1024/bk=1024 16.7-20 us
+        # vs 31-38 at bk=256 on q4_0 LM shapes); at mid-M bk=256 measured
+        # best/tied (104.5 vs 107/112 us summed over the DiT layer shapes)
+        for bk in (1024, 512):
+            if k_dim % bk == 0 and bk * bn // 2 <= _TILE_BYTES_CAP:
+                return bk
+    return Q4_BK if k_dim % Q4_BK == 0 else None
 
 
 def _pick_bm(m: int) -> int:
@@ -112,23 +161,30 @@ def _q8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q4_0_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+def _q4_0_kernel(g_groups, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """4-bit data arrives as a grouped view [G, 128, BN] (G fold groups per
+    grid step, bk = G*256); each group unfolds independently and contributes
+    one K=256 sub-dot.  G is static (functools.partial)."""
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = _unfold_nibbles(w_ref[:], Q4_BK) - 8
-    wd = (q.astype(jnp.float32) * _expand_rows(s_ref[:], BLOCK)).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    sb = Q4_BK // BLOCK
+    for g in range(g_groups):
+        q = _unfold_nibbles(w_ref[g], Q4_BK) - 8
+        wd = (q.astype(jnp.float32)
+              * _expand_rows(s_ref[g * sb:(g + 1) * sb], BLOCK)).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x_ref[:, g * Q4_BK:(g + 1) * Q4_BK], wd,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q4_k_kernel(x_ref, w_ref, d_ref, m_ref, o_ref, acc_ref):
+def _q4_k_kernel(g_groups, x_ref, w_ref, d_ref, m_ref, o_ref, acc_ref):
     """q4_k with pre-expanded effective scales d_eff/m_eff [BK/32, BN] f32."""
     k = pl.program_id(2)
 
@@ -136,16 +192,20 @@ def _q4_k_kernel(x_ref, w_ref, d_ref, m_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = _unfold_nibbles(w_ref[:], Q4_BK).astype(jnp.float32)
-    wd = (q * _expand_rows(d_ref[:], BLOCK) - _expand_rows(m_ref[:], BLOCK)).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    sb = Q4_BK // BLOCK
+    for g in range(g_groups):
+        q = _unfold_nibbles(w_ref[g], Q4_BK).astype(jnp.float32)
+        wd = (q * _expand_rows(d_ref[g * sb:(g + 1) * sb], BLOCK)
+              - _expand_rows(m_ref[g * sb:(g + 1) * sb], BLOCK)).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x_ref[:, g * Q4_BK:(g + 1) * Q4_BK], wd,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _q6_k_kernel(x_ref, w_ref, hi_ref, d_ref, o_ref, acc_ref):
+def _q6_k_kernel(g_groups, x_ref, w_ref, hi_ref, d_ref, o_ref, acc_ref):
     """q6_k with pre-expanded effective scales d_eff [BK/16, BN] f32."""
     k = pl.program_id(2)
 
@@ -153,11 +213,14 @@ def _q6_k_kernel(x_ref, w_ref, hi_ref, d_ref, o_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo = _unfold_nibbles(w_ref[:], Q4_BK)
-    hi = _unfold_crumbs(hi_ref[:], Q4_BK)
-    q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
-    wd = (q * _expand_rows(d_ref[:], SUB16)).astype(jnp.bfloat16)
-    acc_ref[:] += jnp.dot(x_ref[:], wd, preferred_element_type=jnp.float32)
+    s6 = Q4_BK // SUB16
+    for g in range(g_groups):
+        lo = _unfold_nibbles(w_ref[g], Q4_BK)
+        hi = _unfold_crumbs(hi_ref[g], Q4_BK)
+        q = (lo | (hi << 4)).astype(jnp.float32) - 32.0
+        wd = (q * _expand_rows(d_ref[g * s6:(g + 1) * s6], SUB16)).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(x_ref[:, g * Q4_BK:(g + 1) * Q4_BK], wd,
+                              preferred_element_type=jnp.float32)
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
@@ -176,15 +239,16 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     """
     k_dim, n = qt.shape
     m = x.shape[0]
-    bn = _pick_bn(n, m)
+    bn = _pick_bn(n, m, four_bit=qt.fmt != "q8_0")
     if qt.fmt == "q8_0":
         bk = _pick_q8_bk(k_dim, m, bn) if bn is not None else None
     else:
-        bk = Q4_BK if k_dim % Q4_BK == 0 else None
+        bk = _pick_q4_bk(k_dim, m, bn)
     if bn is None or bk is None:
         wd = dequantize(qt, dtype=jnp.bfloat16)
         return jnp.dot(x.astype(jnp.bfloat16), wd,
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    g_groups = bk // Q4_BK
 
     bm = _pick_bm(m)
     m_pad = (-m) % bm
@@ -228,12 +292,13 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
     elif qt.fmt == "q4_0":
         scales = qt.scales.astype(jnp.float32)
         out = pl.pallas_call(
-            _q4_0_kernel,
+            functools.partial(_q4_0_kernel, g_groups),
             in_specs=[x_spec,
-                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((g_groups, FOLD // 2, bn),
+                                   lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
                       s_spec],
             **common,
-        )(x, qt.data, scales)
+        )(x, qt.data.reshape(k_dim // FOLD, FOLD // 2, n), scales)
     elif qt.fmt == "q4_k":
         # effective per-32-block scale/min, computed outside (hoisted by XLA)
         sub_per_super = SUPER // BLOCK
@@ -242,12 +307,13 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
         m_eff = _expand_rows(qt.super_mins.astype(jnp.float32), sub_per_super) \
             * qt.sub_mins.astype(jnp.float32)
         out = pl.pallas_call(
-            _q4_k_kernel,
+            functools.partial(_q4_k_kernel, g_groups),
             in_specs=[x_spec,
-                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((g_groups, FOLD // 2, bn),
+                                   lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
                       s_spec, s_spec],
             **common,
-        )(x, qt.data, d_eff, m_eff)
+        )(x, qt.data.reshape(k_dim // FOLD, FOLD // 2, n), d_eff, m_eff)
     elif qt.fmt == "q6_k":
         sub_per_super = SUPER // SUB16
         d_eff = _expand_rows(qt.super_scales.astype(jnp.float32), sub_per_super) \
@@ -255,13 +321,16 @@ def qmm_pallas(x: jax.Array, qt: QuantTensor, *, interpret: bool = False) -> jax
         s16_spec = pl.BlockSpec((bk // SUB16, bn), lambda i, j, k: (k, j),
                                 memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            _q6_k_kernel,
+            functools.partial(_q6_k_kernel, g_groups),
             in_specs=[x_spec,
-                      pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-                      pl.BlockSpec((bk // 4, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((g_groups, FOLD // 2, bn),
+                                   lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+                      pl.BlockSpec((g_groups, FOLD // 4, bn),
+                                   lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
                       s16_spec],
             **common,
-        )(x, qt.data, qt.data_hi, d_eff)
+        )(x, qt.data.reshape(k_dim // FOLD, FOLD // 2, n),
+          qt.data_hi.reshape(k_dim // FOLD, FOLD // 4, n), d_eff)
     else:
         raise ValueError(f"unsupported quant format: {qt.fmt}")
 
@@ -419,16 +488,17 @@ def qmm_pallas_stacked(
     so the hoisted work is a no-op)."""
     k_dim, n = qt.shape
     m = x.shape[0]
-    bn = _pick_bn(n, m)
+    bn = _pick_bn(n, m, four_bit=qt.fmt != "q8_0")
     if qt.fmt == "q8_0":
         bk = _pick_q8_bk(k_dim, m, bn) if bn is not None else None
     else:
-        bk = Q4_BK if k_dim % Q4_BK == 0 else None
+        bk = _pick_q4_bk(k_dim, m, bn)
     if bn is None or bk is None:
         qt_l = _index_qt_fields(qt, li)
         wd = dequantize(qt_l, dtype=jnp.bfloat16)
         return jnp.dot(x.astype(jnp.bfloat16), wd,
                        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    g_groups = bk // Q4_BK
 
     bm = _pick_bm(m)
     m_pad = (-m) % bm
@@ -475,14 +545,23 @@ def qmm_pallas_stacked(
             interpret=interpret,
         )(li_arr, x, *operands)
 
+    L = qt.data.shape[0]
+
+    def _gspec(rows):
+        # grouped 4-bit view [L, K/FOLD, rows, bn]: G fold groups per grid step
+        return pl.BlockSpec((None, g_groups, rows, bn),
+                            lambda i, j, k, li_ref: (li_ref[0], k, 0, j),
+                            memory_space=pltpu.VMEM)
+
     if qt.fmt == "q8_0":
         scales = qt.scales.astype(jnp.float32)   # hoisted: loop-invariant
         out = _call(_q8_kernel, [x_spec, _lspec(bk), _lspec(scale_rows)],
                     (qt.data, scales))
     elif qt.fmt == "q4_0":
         scales = qt.scales.astype(jnp.float32)
-        out = _call(_q4_0_kernel, [x_spec, _lspec(bk // 2), _lspec(scale_rows)],
-                    (qt.data, scales))
+        out = _call(functools.partial(_q4_0_kernel, g_groups),
+                    [x_spec, _gspec(FOLD // 2), _lspec(scale_rows)],
+                    (qt.data.reshape(L, k_dim // FOLD, FOLD // 2, n), scales))
     elif qt.fmt == "q4_k":
         sub_per_super = SUPER // BLOCK
         d_eff = _expand_rows_stacked(qt.super_scales.astype(jnp.float32),
@@ -491,17 +570,19 @@ def qmm_pallas_stacked(
         m_eff = _expand_rows_stacked(qt.super_mins.astype(jnp.float32),
                                      sub_per_super) \
             * qt.sub_mins.astype(jnp.float32)
-        out = _call(_q4_k_kernel,
-                    [x_spec, _lspec(bk // 2), _lspec(scale_rows), _lspec(scale_rows)],
-                    (qt.data, d_eff, m_eff))
+        out = _call(functools.partial(_q4_k_kernel, g_groups),
+                    [x_spec, _gspec(FOLD // 2), _lspec(scale_rows), _lspec(scale_rows)],
+                    (qt.data.reshape(L, k_dim // FOLD, FOLD // 2, n), d_eff, m_eff))
     elif qt.fmt == "q6_k":
         sub_per_super = SUPER // SUB16
         d_eff = _expand_rows_stacked(qt.super_scales.astype(jnp.float32),
                                      sub_per_super) \
             * qt.sub_scales.astype(jnp.float32)
-        out = _call(_q6_k_kernel,
-                    [x_spec, _lspec(bk // 2), _lspec(bk // 4), _lspec(bk // SUB16)],
-                    (qt.data, qt.data_hi, d_eff))
+        out = _call(functools.partial(_q6_k_kernel, g_groups),
+                    [x_spec, _gspec(FOLD // 2), _gspec(FOLD // 4),
+                     _lspec(bk // SUB16)],
+                    (qt.data.reshape(L, k_dim // FOLD, FOLD // 2, n),
+                     qt.data_hi.reshape(L, k_dim // FOLD, FOLD // 4, n), d_eff))
     else:
         raise ValueError(f"unsupported quant format: {qt.fmt}")
 

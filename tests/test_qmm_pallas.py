@@ -162,3 +162,36 @@ def test_stacked_inside_scan():
     ref, _ = jax.lax.scan(body_ref, x0, stacked)
     out, _ = jax.lax.scan(body_sw, x0, jnp.arange(4, dtype=jnp.int32))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q4_k", "q6_k"])
+def test_multigroup_bk_bit_identical(fmt, monkeypatch):
+    """4-bit kernels unfold G = bk/256 fold groups per grid step; the group
+    sub-dots accumulate in the same K-ascending f32 order regardless of bk,
+    so results are BIT-identical across bk in {256, 512, 1024}."""
+    x, qt = _pair(fmt, 1024, 512, 128)
+    outs = []
+    for bk in (256, 512, 1024):
+        monkeypatch.setenv("ACESTEP_TPU_QMM_BK", str(bk))
+        outs.append(np.asarray(qmm_pallas(x, qt, interpret=True)))
+    monkeypatch.delenv("ACESTEP_TPU_QMM_BK")
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    ref = _xla_ref(x, qt)
+    denom = np.abs(ref).mean() + 1e-9
+    assert np.abs(outs[0] - ref).max() / denom < 0.02
+
+
+@pytest.mark.parametrize("fmt", ["q4_0", "q6_k"])
+def test_stacked_multigroup_matches_per_layer(fmt):
+    """Grouped stacked kernels (mid-M fat tiles, G>1) stay bit-identical to
+    qmm_pallas on the sliced layer."""
+    from acestep_tpu.ops.pallas.qmm import qmm_pallas_stacked
+
+    qts, stacked = _stacked(fmt, 2, 1024, 512)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((128, 1024)),
+                    jnp.bfloat16)
+    for li in range(2):
+        out = qmm_pallas_stacked(x, stacked, jnp.int32(li), interpret=True)
+        ref = qmm_pallas(x, qts[li], interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
