@@ -416,6 +416,7 @@ class LMPipeline:
         positions, reusing the longest cached token prefix.  Returns
         (cache, logits [1, V])."""
         ids = list(ids)[:4096]
+        total_len = kvc.round_len(total_len)
         hit = self.prefix_cache.lookup(ids) if self.use_prefix_cache else None
         if hit is not None:
             n0, cache0, logits0 = hit
@@ -433,7 +434,7 @@ class LMPipeline:
                 )
         else:
             prompt_ids = jnp.asarray([self._bucket(ids)], jnp.int32)
-            total_len = max(total_len, prompt_ids.shape[1] + 1)
+            total_len = kvc.round_len(max(total_len, prompt_ids.shape[1] + 1))
             cache = kvc.init_cache(
                 self.cfg.num_hidden_layers, 1, self.cfg.num_key_value_heads,
                 total_len, self.cfg.head_dim,

@@ -39,6 +39,14 @@ class KVCache:
         return self.k.shape[3]
 
 
+def round_len(n: int, mult: int = 128) -> int:
+    """Round a cache time-axis length up to a tile multiple.  The pallas
+    decode-attention kernel (ops/pallas/decode_attn.py) needs T_max divisible
+    by its block size; rounding also coalesces nearby prompt+codes totals into
+    one compiled bucket.  Padding slots are masked by ``length`` everywhere."""
+    return ((int(n) + mult - 1) // mult) * mult
+
+
 def init_cache(
     n_layers: int, batch: int, n_kv: int, max_len: int, head_dim: int
 ) -> KVCache:

@@ -150,6 +150,30 @@ def _use_stacked_weights(params) -> bool:
     return use_stacked_weights(params["layers"])
 
 
+def _pallas_decode_attn(t_max: int, nh: int, nkv: int, hd: int):
+    """Return the pallas decode-attention kernel entry when explicitly
+    requested, else None (ACESTEP_TPU_DECODE_ATTN = auto | pallas | xla).
+
+    ``auto`` resolves to the XLA path: on a v5e chip the pallas kernel
+    measured SLOWER than the fused XLA int8 path at real decode shapes
+    (0.6B q8_0, bucket 3712: b=1 2.31 vs 2.15 ms/step, b=8 4.99 vs 4.37) —
+    per-(layer, T-block) grid overhead outweighs the skip-invalid-block
+    bandwidth savings when each block is only ~130 KB.  The kernel stays
+    available under ``pallas`` for future tuning (off-TPU it runs in
+    interpret mode for the CPU equivalence tests)."""
+    import os as _os
+
+    if _os.environ.get("ACESTEP_TPU_DECODE_ATTN", "auto") != "pallas":
+        return None
+    if hd % 128 != 0 or nkv == 0 or nh % nkv != 0 or t_max % 128 != 0:
+        return None
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from acestep_tpu.ops.pallas.decode_attn import decode_attention_int8_stacked
+
+    return functools.partial(decode_attention_int8_stacked,
+                             interpret=not on_tpu)
+
+
 def _qkv_proj(p, xn, b: int, t: int, nh: int, nkv: int, hd: int):
     """q/k/v projections, through the serving-fused qkv weight when present
     (one weight stream + one kernel launch instead of three)."""
@@ -358,9 +382,14 @@ def decode_step(
             layers_small, big_weights = params["layers"], []
         n_layers_s = cache.k.shape[0]
         li_range = jnp.arange(n_layers_s, dtype=jnp.int32)
+        pattn = _pallas_decode_attn(t_max, nh, nkv, hd)
 
         def scan_body(x, xs):
-            li, p_small, kq_l, ks_l, vq_l, vs_l = xs
+            if pattn is not None:
+                li, p_small = xs
+                kq_l = ks_l = vq_l = vs_l = None
+            else:
+                li, p_small, kq_l, ks_l, vq_l, vs_l = xs
             p = _rebuild_layer_params(p_small, big_weights, li) if use_sw else p_small
             xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
             q, k, v = _qkv_proj(p, xn, b, 1, nh, nkv, hd)
@@ -371,9 +400,18 @@ def decode_step(
             k_self, v_self = k[:, :, 0, :], v[:, :, 0, :]
             kq_new, ks_new = kvc.quantize_kv(k_self)
             vq_new, vs_new = kvc.quantize_kv(v_self)
-            attn = attention_int8_self(
-                q, kq_l, ks_l, vq_l, vs_l, bias_strict, k_self, v_self)
-            attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+            if pattn is not None:
+                # one kernel: streams layer li's K/V tiles from the stacked
+                # cache (no per-layer slice copy), masks by length in-kernel,
+                # reads only blocks that hold valid positions
+                attn = pattn(q[:, :, 0, :], cache.k, cache.k_scale,
+                             cache.v, cache.v_scale, cache.length, li,
+                             k_self, v_self)
+                attn = attn.astype(q.dtype).reshape(b, 1, nh * hd)
+            else:
+                attn = attention_int8_self(
+                    q, kq_l, ks_l, vq_l, vs_l, bias_strict, k_self, v_self)
+                attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
             x = x + linear(attn, p["o_proj"]["kernel"])
             hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
             x = x + qwen.mlp_block(p, hn)
@@ -389,17 +427,19 @@ def decode_step(
             outs = []
             for li in range(n_layers_s):
                 p_l = jax.tree_util.tree_map(lambda a: a[li], layers_small)
-                x, out = scan_body(
-                    x, (jnp.int32(li), p_l, cache.k[li], cache.k_scale[li],
-                        cache.v[li], cache.v_scale[li]))
+                xs_l = (jnp.int32(li), p_l) if pattn is not None else (
+                    jnp.int32(li), p_l, cache.k[li], cache.k_scale[li],
+                    cache.v[li], cache.v_scale[li])
+                x, out = scan_body(x, xs_l)
                 outs.append(out)
             k_new, ks_new, v_new, vs_new = (
                 jnp.stack([o[i] for o in outs]) for i in range(4))
         else:
+            xs = (li_range, layers_small) if pattn is not None else (
+                li_range, layers_small, cache.k, cache.k_scale,
+                cache.v, cache.v_scale)
             x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
-                scan_body, x,
-                (li_range, layers_small, cache.k, cache.k_scale,
-                 cache.v, cache.v_scale),
+                scan_body, x, xs,
                 unroll=int(_os.environ.get("ACESTEP_TPU_DECODE_SCAN_UNROLL", "1")),
             )
         # k_new: [L, B, Hkv, D] -> write at each sequence's position
@@ -741,7 +781,7 @@ def generate(
     """Generate up to max_new_tokens for each sequence; returns
     (tokens [B, max_new], n_generated [B]).  One device dispatch."""
     b, t_prompt = prompt_ids.shape
-    max_len = t_prompt + sp.max_new_tokens + 1
+    max_len = kvc.round_len(t_prompt + sp.max_new_tokens + 1)
     n_layers = cfg.num_hidden_layers
     use_cfg = sp.cfg_scale != 1.0 and uncond_prompt_ids is not None
 
@@ -750,7 +790,7 @@ def generate(
 
     ucache = ulogits = None
     if use_cfg:
-        u_max = uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1
+        u_max = kvc.round_len(uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1)
         ucache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, u_max, cfg.head_dim)
         ulogits, ucache = prefill(params, cfg, uncond_prompt_ids, uncond_prompt_lengths, ucache)
 
@@ -811,7 +851,7 @@ def generate_with_fsm(
 
     ids = jnp.asarray([list(prompt_ids)], jnp.int32)
     lengths = jnp.asarray([len(prompt_ids)], jnp.int32)
-    max_len = len(prompt_ids) + max_new_tokens + 1
+    max_len = kvc.round_len(len(prompt_ids) + max_new_tokens + 1)
     cache = kvc.init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
                            max_len, cfg.head_dim)
     logits, cache = _prefill_jit(params, cfg, ids, lengths, cache)
