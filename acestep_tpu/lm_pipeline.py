@@ -349,19 +349,29 @@ class LMPipeline:
     """
 
     def __init__(self, params: Dict[str, Any], cfg: QwenConfig, tokenizer: TokenizerLike,
-                 use_prefix_cache: bool = True, stack_layers: bool = True):
+                 use_prefix_cache: bool = True, stack_layers: bool = True,
+                 mesh=None):
         from acestep_tpu.models import qwen as _qwen
 
         # stacked layer axis -> serving prefill/decode scan ONE compiled layer
         # body instead of num_hidden_layers inlined copies
-        if stack_layers and isinstance(params.get("layers"), list):
+        if (stack_layers or mesh is not None) and isinstance(params.get("layers"), list):
             params = _qwen.stack_params(params)
         # tied-embedding quantized models get a quantized lm_head copy so the
         # decode scan never streams the full bf16 embed matrix (serving/lm.py)
         params = lm_serving.ensure_quantized_head(params)
+        self.tp_ctx = None
+        if mesh is not None:
+            # tensor-parallel serving: rank-major-fused sharded params +
+            # shard_map entry points (parallel/lm_tp.py — the nano-vllm TP
+            # analog, linear.py:54-152 / embed_head.py)
+            from acestep_tpu.parallel.lm_tp import LMTPContext
+
+            self.tp_ctx = LMTPContext(params, cfg, mesh)
+            params = self.tp_ctx.params
         # fuse q||k||v and gate||up (4 matmul kernels/layer instead of 7 —
         # batch-1 decode is launch-bound, and the fusion is numerically exact)
-        if os.environ.get("ACESTEP_TPU_LM_FUSE", "1") != "0":
+        elif os.environ.get("ACESTEP_TPU_LM_FUSE", "1") != "0":
             params = lm_serving.fuse_serving_params(params)
         self.params = params
         self.cfg = cfg
@@ -404,8 +414,12 @@ class LMPipeline:
                 uncond_prompt_lengths=jnp.asarray([min(len(uids), 4096)], jnp.int32),
             )
         with self._qmm_backend():
-            tokens, n_gen = generate(
-                self.params, self.cfg, prompt_ids, lengths, key, sp, **ukw)
+            if self.tp_ctx is not None:
+                tokens, n_gen = self.tp_ctx.generate(
+                    prompt_ids, lengths, key, sp, **ukw)
+            else:
+                tokens, n_gen = generate(
+                    self.params, self.cfg, prompt_ids, lengths, key, sp, **ukw)
         n = int(n_gen[0])
         return np.asarray(tokens[0, :n]), n
 
@@ -427,11 +441,16 @@ class LMPipeline:
             bucket = _suffix_bucket(len(rest))
             suffix = jnp.asarray([rest + [0] * (bucket - len(rest))], jnp.int32)
             with self._qmm_backend():
-                logits, cache = lm_serving.extend_prefill_jit(
-                    self.params, self.cfg, cache, suffix,
-                    jnp.asarray([n0], jnp.int32),
-                    jnp.asarray([len(rest)], jnp.int32),
-                )
+                if self.tp_ctx is not None:
+                    logits, cache = self.tp_ctx.extend_prefill(
+                        cache, suffix, jnp.asarray([n0], jnp.int32),
+                        jnp.asarray([len(rest)], jnp.int32))
+                else:
+                    logits, cache = lm_serving.extend_prefill_jit(
+                        self.params, self.cfg, cache, suffix,
+                        jnp.asarray([n0], jnp.int32),
+                        jnp.asarray([len(rest)], jnp.int32),
+                    )
         else:
             prompt_ids = jnp.asarray([self._bucket(ids)], jnp.int32)
             total_len = kvc.round_len(max(total_len, prompt_ids.shape[1] + 1))
@@ -440,10 +459,14 @@ class LMPipeline:
                 total_len, self.cfg.head_dim,
             )
             with self._qmm_backend():
-                logits, cache = lm_serving._prefill_jit(
-                    self.params, self.cfg, prompt_ids,
-                    jnp.asarray([len(ids)], jnp.int32), cache,
-                )
+                if self.tp_ctx is not None:
+                    logits, cache = self.tp_ctx.prefill(
+                        prompt_ids, jnp.asarray([len(ids)], jnp.int32), cache)
+                else:
+                    logits, cache = lm_serving._prefill_jit(
+                        self.params, self.cfg, prompt_ids,
+                        jnp.asarray([len(ids)], jnp.int32), cache,
+                    )
         if insert and self.use_prefix_cache:
             self.prefix_cache.insert(ids, cache, logits)
         return cache, logits
@@ -462,10 +485,16 @@ class LMPipeline:
             ukw = dict(ucache=kvc.broadcast_cache(ucache, batch),
                        ulogits=jnp.broadcast_to(ulogits, (batch, ulogits.shape[-1])))
         with self._qmm_backend():
-            tokens, n_gen = lm_serving.decode_from_state(
-                self.params, self.cfg, cache_b, logits_b, key, sp,
-                min_tokens_arr=min_arr, forced_eos_arr=forced_arr, **ukw,
-            )
+            if self.tp_ctx is not None:
+                tokens, n_gen = self.tp_ctx.decode_from_state(
+                    cache_b, logits_b, key, sp,
+                    min_tokens_arr=min_arr, forced_eos_arr=forced_arr, **ukw,
+                )
+            else:
+                tokens, n_gen = lm_serving.decode_from_state(
+                    self.params, self.cfg, cache_b, logits_b, key, sp,
+                    min_tokens_arr=min_arr, forced_eos_arr=forced_arr, **ukw,
+                )
         return np.asarray(tokens), np.asarray(n_gen)
 
     def generate_with_stop_condition(
@@ -637,9 +666,13 @@ class LMPipeline:
         ids = self.tok.encode(prompt)
         fsm = MetadataFSM(FSMConfig(), user_metadata=user_metadata or {})
         vocab_strs = self.vocab_strs()
+        fsm_kw = {}
+        if self.tp_ctx is not None:
+            fsm_kw = dict(prefill_fn=self.tp_ctx.prefill,
+                          decode_fn=self.tp_ctx.decode_step)
         out_ids, text = lm_serving.generate_with_fsm(
             self.params, self.cfg, ids, fsm, vocab_strs, key,
-            temperature=temperature, max_new_tokens=max_cot_tokens,
+            temperature=temperature, max_new_tokens=max_cot_tokens, **fsm_kw,
         )
         body = text.strip()
         return f"<think>\n{body}\n</think>"

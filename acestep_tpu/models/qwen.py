@@ -100,7 +100,12 @@ def attention_block(
     return linear(out, p["o_proj"]["kernel"])
 
 
-def mlp_block(p: Params, x: jax.Array) -> jax.Array:
+def mlp_block(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
+    """SwiGLU MLP.  Under tensor parallelism (``axis_name`` set inside a
+    shard_map) gate/up are column-sharded and down_proj row-sharded, so the
+    down_proj output is a partial sum -> one psum per MLP (Megatron layout;
+    the reference hand-codes the same all-reduce in nano-vllm
+    linear.py:126-152)."""
     if "gateup_proj" in p:        # serving-fused gate||up (one weight stream)
         gu = linear(x, p["gateup_proj"]["kernel"])
         inter = gu.shape[-1] // 2
@@ -109,7 +114,10 @@ def mlp_block(p: Params, x: jax.Array) -> jax.Array:
         gate = linear(x, p["gate_proj"]["kernel"])
         up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    return linear(act, p["down_proj"]["kernel"])
+    out = linear(act, p["down_proj"]["kernel"])
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def stack_params(params: Params) -> Params:
@@ -169,11 +177,23 @@ def embeddings_only(params: Params, token_ids: jax.Array) -> jax.Array:
     return params["embed_tokens"][token_ids]
 
 
-def lm_logits(params: Params, cfg: QwenConfig, hidden: jax.Array) -> jax.Array:
-    """Project final hidden states to vocab logits (tied embeddings by default)."""
+def lm_logits(
+    params: Params, cfg: QwenConfig, hidden: jax.Array,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Project final hidden states to vocab logits (tied embeddings by default).
+
+    Under tensor parallelism the quantized ``lm_head`` is column-sharded over
+    the vocab (nano-vllm embed_head.py ParallelLMHead analog): each shard
+    computes its vocab slice and the full logits are re-assembled with a tiled
+    all_gather (vocab order is preserved because the shards are contiguous
+    column blocks)."""
     head = params.get("lm_head")
     if head is not None:
         logits = linear(hidden, head["kernel"])
+        if axis_name is not None:
+            logits = jax.lax.all_gather(
+                logits, axis_name, axis=logits.ndim - 1, tiled=True)
         # serving pads the head's vocab axis to a lane multiple (serving/lm.py
         # ensure_quantized_head); drop the pad columns
         if logits.shape[-1] != cfg.vocab_size:

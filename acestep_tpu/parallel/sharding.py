@@ -23,7 +23,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from acestep_tpu.quant import QuantTensor
 
 # path regex -> (spec for 2-D kernel-layout arrays)
-_COL_PARALLEL = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$")
+# qkv_proj/gateup_proj are the serving-fused weights: ONLY valid column-
+# parallel when fused rank-major (parallel/lm_tp.py fuse_rank_major), so that
+# each contiguous column shard is [q_r|k_r|v_r] / [gate_r|up_r].
+# lm_head shards the (padded) vocab axis; logits re-assemble via all_gather.
+_COL_PARALLEL = re.compile(
+    r"(q_proj|k_proj|v_proj|gate_proj|up_proj|qkv_proj|gateup_proj|lm_head)/kernel$"
+)
 _ROW_PARALLEL = re.compile(r"(o_proj|down_proj)/kernel$")
 _COL_BIAS = re.compile(r"(q_proj|k_proj|v_proj|gate_proj|up_proj)/bias$")
 

@@ -34,6 +34,19 @@ from acestep_tpu.serving.kv_cache import KVCache
 NEG_INF = -1e30
 
 
+def _psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """All-reduce a row-parallel partial sum (no-op outside shard_map)."""
+    return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+
+def _gather_cols(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
+    """Re-assemble column-sharded logits: tiled all_gather along the last axis
+    (shards are contiguous column blocks, so vocab order is preserved)."""
+    if axis_name is None:
+        return x
+    return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
+
+
 # ---------------------------------------------------------------------------
 # model pieces with cache
 # ---------------------------------------------------------------------------
@@ -242,12 +255,17 @@ def prefill(
     token_ids: jax.Array,          # [B, T] right-padded
     lengths: jax.Array,            # [B]
     cache: KVCache,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Full causal forward over the prompt; fills the cache; returns logits at the
     last valid position of each sequence [B, vocab].
 
     Stacked layer params run as ONE lax.scan over the layer axis (a single
-    compiled layer body — 28x smaller compile units than the unrolled loop)."""
+    compiled layer body — 28x smaller compile units than the unrolled loop).
+
+    ``axis_name`` set => running per-shard inside a shard_map: ``cfg`` is the
+    LOCAL config (heads / tp), o_proj/down_proj outputs are psum'd, and the
+    sharded lm_head is re-assembled by all_gather (parallel/lm_tp.py)."""
     b, t = token_ids.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     x = params["embed_tokens"][token_ids]
@@ -269,9 +287,9 @@ def prefill(
         vq, vs = kvc.quantize_kv(v)
         attn = attention(q, k, v, mask=mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        x = x + linear(attn, p["o_proj"]["kernel"])
+        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        x = x + qwen.mlp_block(p, hn)
+        x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq, ks, vq, vs)
 
     if _layers_stacked(params):
@@ -298,7 +316,7 @@ def prefill(
     last = jnp.take_along_axis(
         x, (lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0, :]
-    logits = qwen.lm_logits(params, cfg, last[:, None, :])[:, 0, :]
+    logits = qwen.lm_logits(params, cfg, last[:, None, :], axis_name=axis_name)[:, 0, :]
     return logits.astype(jnp.float32), cache
 
 
@@ -308,6 +326,7 @@ def decode_step(
     cache: KVCache,
     token_ids: jax.Array,          # [B] current input tokens
     head=None,                     # optional head weight [H, V'] (array/QuantTensor)
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One decode position at each sequence's current length -> logits [B, vocab].
 
@@ -356,9 +375,9 @@ def decode_step(
         vs_l = vs_l.at[bidx, :, cache.length].set(vs_new)
         attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-        x = x + linear(attn, p["o_proj"]["kernel"])
+        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        x = x + qwen.mlp_block(p, hn)
+        x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)
 
     if _layers_stacked(params):
@@ -412,9 +431,9 @@ def decode_step(
                 attn = attention_int8_self(
                     q, kq_l, ks_l, vq_l, vs_l, bias_strict, k_self, v_self)
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-            x = x + linear(attn, p["o_proj"]["kernel"])
+            x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
             hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-            x = x + qwen.mlp_block(p, hn)
+            x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
             return x, (kq_new, ks_new, vq_new, vs_new)
 
         import os as _os
@@ -472,9 +491,11 @@ def decode_step(
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     if head is not None:
-        logits = linear(x, head)[:, 0, :]
+        # under TP the override head is column-sharded (reduced codes head):
+        # gather the contiguous column blocks back into global order
+        logits = _gather_cols(linear(x, head), axis_name)[:, 0, :]
     else:
-        logits = qwen.lm_logits(params, cfg, x)[:, 0, :]
+        logits = qwen.lm_logits(params, cfg, x, axis_name=axis_name)[:, 0, :]
     return logits.astype(jnp.float32), cache
 
 
@@ -634,11 +655,17 @@ def _scan_decode(
     cache, logits, key,
     ucache=None, ulogits=None,
     min_tokens_arr=None, forced_eos_arr=None,
+    axis_name=None, head_red_override=None,
 ):
     """Shared decode scan: sample from ``logits`` then run max_new_tokens-1
     cached decode steps.  ``min_tokens_arr`` / ``forced_eos_arr`` are TRACED
     per-item [B] overrides of the static sp.min_tokens / sp.forced_eos_at —
-    mixed durations share one compiled scan (code-count bucketing)."""
+    mixed durations share one compiled scan (code-count bucketing).
+
+    ``axis_name`` => per-shard execution inside a shard_map (parallel/lm_tp.py);
+    the reduced codes head cannot be sliced from the LOCAL head shard, so the
+    TP caller pre-slices the GLOBAL head and passes the shard via
+    ``head_red_override``."""
     import os as _os
 
     use_cfg = sp.cfg_scale != 1.0 and ucache is not None
@@ -651,8 +678,13 @@ def _scan_decode(
     # allowed tokens is unchanged (disallowed tokens carried ~0 mass).
     head_red = None
     n_range = n_valid = 0
-    if (
+    if head_red_override is not None:
+        head_red = head_red_override
+        n_range = sp.allowed_range[1] - sp.allowed_range[0]
+        n_valid = n_range + (1 if sp.eos_token is not None else 0)
+    elif (
         sp.allowed_range is not None
+        and axis_name is None
         and _os.environ.get("ACESTEP_TPU_REDUCED_CODES_HEAD", "1") != "0"
     ):
         w_full = (params.get("lm_head") or {}).get("kernel")
@@ -730,10 +762,12 @@ def _scan_decode(
     # scan carry: (cache, ucache, cur_tok, finished, step)
     def scan_body(carry, k):
         cache, ucache, cur, finished, step = carry
-        logits, cache2 = decode_step(params, cfg, cache, cur, head=head_red)
+        logits, cache2 = decode_step(params, cfg, cache, cur, head=head_red,
+                                     axis_name=axis_name)
         cache2 = kvc.advance(cache2, jnp.ones((b,), bool))
         if use_cfg:
-            ulog, ucache2 = decode_step(params, cfg, ucache, cur, head=head_red)
+            ulog, ucache2 = decode_step(params, cfg, ucache, cur, head=head_red,
+                                        axis_name=axis_name)
             ucache2 = kvc.advance(ucache2, jnp.ones((b,), bool))
             logits = ulog + sp.cfg_scale * (logits - ulog)
         else:
@@ -765,7 +799,7 @@ def _scan_decode(
     return tokens, n_gen.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "axis_name"))
 def generate(
     params: Dict[str, Any],
     cfg: QwenConfig,
@@ -777,6 +811,8 @@ def generate(
     uncond_prompt_lengths: Optional[jax.Array] = None,
     min_tokens_arr: Optional[jax.Array] = None,        # [B] traced override
     forced_eos_arr: Optional[jax.Array] = None,        # [B] traced override
+    axis_name: Optional[str] = None,
+    head_red_override=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Generate up to max_new_tokens for each sequence; returns
     (tokens [B, max_new], n_generated [B]).  One device dispatch."""
@@ -786,21 +822,22 @@ def generate(
     use_cfg = sp.cfg_scale != 1.0 and uncond_prompt_ids is not None
 
     cache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, max_len, cfg.head_dim)
-    logits, cache = prefill(params, cfg, prompt_ids, prompt_lengths, cache)
+    logits, cache = prefill(params, cfg, prompt_ids, prompt_lengths, cache, axis_name)
 
     ucache = ulogits = None
     if use_cfg:
         u_max = kvc.round_len(uncond_prompt_ids.shape[1] + sp.max_new_tokens + 1)
         ucache = kvc.init_cache(n_layers, b, cfg.num_key_value_heads, u_max, cfg.head_dim)
-        ulogits, ucache = prefill(params, cfg, uncond_prompt_ids, uncond_prompt_lengths, ucache)
+        ulogits, ucache = prefill(params, cfg, uncond_prompt_ids,
+                                  uncond_prompt_lengths, ucache, axis_name)
 
     return _scan_decode(
         params, cfg, sp, b, cache, logits, key, ucache, ulogits,
-        min_tokens_arr, forced_eos_arr,
+        min_tokens_arr, forced_eos_arr, axis_name, head_red_override,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sp"))
+@functools.partial(jax.jit, static_argnames=("cfg", "sp", "axis_name"))
 def decode_from_state(
     params: Dict[str, Any],
     cfg: QwenConfig,
@@ -812,6 +849,8 @@ def decode_from_state(
     ulogits: Optional[jax.Array] = None,
     min_tokens_arr: Optional[jax.Array] = None,
     forced_eos_arr: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+    head_red_override=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Decode loop starting from an existing prefilled cache (the prefix-cache
     path: the shared system+user prompt prefill is reused across the two-phase
@@ -819,7 +858,7 @@ def decode_from_state(
     b = logits.shape[0]
     return _scan_decode(
         params, cfg, sp, b, cache, logits, key, ucache, ulogits,
-        min_tokens_arr, forced_eos_arr,
+        min_tokens_arr, forced_eos_arr, axis_name, head_red_override,
     )
 
 
@@ -832,8 +871,8 @@ def decode_from_state(
 # per-step host round-trip is acceptable; the codes phase stays on-device.
 # ---------------------------------------------------------------------------
 
-_decode_step_jit = jax.jit(decode_step, static_argnames=("cfg",))
-_prefill_jit = jax.jit(prefill, static_argnames=("cfg",))
+_decode_step_jit = jax.jit(decode_step, static_argnames=("cfg", "axis_name"))
+_prefill_jit = jax.jit(prefill, static_argnames=("cfg", "axis_name"))
 
 
 def generate_with_fsm(
@@ -845,16 +884,27 @@ def generate_with_fsm(
     key: jax.Array,
     temperature: float = 0.7,
     max_new_tokens: int = 256,
+    prefill_fn=None,                       # (ids, lengths, cache) -> (logits, cache)
+    decode_fn=None,                        # (cache, tok) -> (logits, cache)
 ) -> Tuple[list, str]:
-    """Generate one sequence under the FSM; returns (token_ids, text)."""
+    """Generate one sequence under the FSM; returns (token_ids, text).
+
+    ``prefill_fn`` / ``decode_fn`` override the single-device jits (the TP
+    path injects LMTPContext.prefill / .decode_step so the FSM runs against
+    the sharded model)."""
     import numpy as np
+
+    if prefill_fn is None:
+        prefill_fn = lambda i, l, c: _prefill_jit(params, cfg, i, l, c)  # noqa: E731
+    if decode_fn is None:
+        decode_fn = lambda c, t: _decode_step_jit(params, cfg, c, t)  # noqa: E731
 
     ids = jnp.asarray([list(prompt_ids)], jnp.int32)
     lengths = jnp.asarray([len(prompt_ids)], jnp.int32)
     max_len = kvc.round_len(len(prompt_ids) + max_new_tokens + 1)
     cache = kvc.init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
                            max_len, cfg.head_dim)
-    logits, cache = _prefill_jit(params, cfg, ids, lengths, cache)
+    logits, cache = prefill_fn(ids, lengths, cache)
 
     out_ids: list = []
     out_text: list = []
@@ -876,7 +926,7 @@ def generate_with_fsm(
         out_ids.append(tok)
         out_text.append(piece)
         fsm.step(piece)
-        logits, cache = _decode_step_jit(params, cfg, cache, jnp.asarray([tok], jnp.int32))
+        logits, cache = decode_fn(cache, jnp.asarray([tok], jnp.int32))
         cache = kvc.advance(cache, jnp.ones((1,), bool))
     return out_ids, "".join(out_text)
 
@@ -895,6 +945,7 @@ def extend_prefill(
     new_ids: jax.Array,            # [B, T2] tokens to append (right-padded)
     start: jax.Array,              # [B] current lengths (== cache.length)
     suffix_lengths: Optional[jax.Array] = None,   # [B] valid tokens in new_ids
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """Prefill a suffix at positions [start, start+len); returns logits at the
     last VALID suffix position.  ``new_ids`` may be right-padded to a bucket
@@ -944,9 +995,9 @@ def extend_prefill(
         vs_l = vs_l.at[bidx[:, None, :], hidx, tw].set(vs, mode="drop")
         attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, cache_bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t2, nh * hd)
-        x = x + linear(attn, p["o_proj"]["kernel"])
+        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
-        x = x + qwen.mlp_block(p, hn)
+        x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)
 
     if _layers_stacked(params):
@@ -977,11 +1028,11 @@ def extend_prefill(
     last = jnp.take_along_axis(
         x, (suffix_lengths - 1)[:, None, None].astype(jnp.int32), axis=1
     )
-    logits = qwen.lm_logits(params, cfg, last)[:, 0, :]
+    logits = qwen.lm_logits(params, cfg, last, axis_name=axis_name)[:, 0, :]
     return logits.astype(jnp.float32), cache
 
 
-extend_prefill_jit = jax.jit(extend_prefill, static_argnames=("cfg",))
+extend_prefill_jit = jax.jit(extend_prefill, static_argnames=("cfg", "axis_name"))
 
 
 def _rotate_half_4d(x):
