@@ -81,14 +81,23 @@ def attention_block(
     cos: jax.Array,
     sin: jax.Array,
     mask: Optional[jax.Array],
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     b, l, _ = x.shape
     hd = cfg.head_dim
     nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
-    q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
-    k = linear(x, p["k_proj"]["kernel"]).reshape(b, l, nkv, hd)
-    v = linear(x, p["v_proj"]["kernel"]).reshape(b, l, nkv, hd)
+    if "qkv_proj" in p:              # serving-fused q||k||v (one weight stream);
+        # under TP the fusion is rank-major, so the per-shard split with the
+        # LOCAL head counts is exact (parallel/lm_tp.py fuse path)
+        qkv = linear(x, p["qkv_proj"]["kernel"])
+        q = qkv[..., : nh * hd].reshape(b, l, nh, hd)
+        k = qkv[..., nh * hd: (nh + nkv) * hd].reshape(b, l, nkv, hd)
+        v = qkv[..., (nh + nkv) * hd:].reshape(b, l, nkv, hd)
+    else:
+        q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
+        k = linear(x, p["k_proj"]["kernel"]).reshape(b, l, nkv, hd)
+        v = linear(x, p["v_proj"]["kernel"]).reshape(b, l, nkv, hd)
 
     q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
@@ -97,7 +106,10 @@ def attention_block(
     q, k = apply_rope(q, k, cos, sin)
     out = attention(q, k, v, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    return linear(out, p["o_proj"]["kernel"])
+    out = linear(out, p["o_proj"]["kernel"])
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 def mlp_block(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
@@ -140,6 +152,7 @@ def forward(
     causal: bool = True,
     num_layers: Optional[int] = None,
     final_norm: bool = True,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Full-sequence forward -> hidden states [B, L, H]."""
     b, l = token_ids.shape
@@ -151,9 +164,11 @@ def forward(
 
     def layer_body(x, p):
         h = x + attention_block(
-            p, cfg, rms_norm(x, p["input_norm"], cfg.rms_norm_eps), cos, sin, mask
+            p, cfg, rms_norm(x, p["input_norm"], cfg.rms_norm_eps), cos, sin,
+            mask, axis_name,
         )
-        return h + mlp_block(p, rms_norm(h, p["post_norm"], cfg.rms_norm_eps))
+        return h + mlp_block(p, rms_norm(h, p["post_norm"], cfg.rms_norm_eps),
+                             axis_name=axis_name)
 
     layers = params["layers"]
     if isinstance(layers, list):

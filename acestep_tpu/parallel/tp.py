@@ -148,6 +148,61 @@ def make_tp_sampler(cfg: DiTConfig, mesh: Mesh, params_example: Any):
     return run
 
 
+def make_tp_cfg_sampler(cfg: DiTConfig, mesh: Mesh, params_example: Any):
+    """Jitted shard_map CFG sampler (base/non-turbo checkpoints) over (dp, tp).
+
+    The co-batched cond/uncond 2B Euler loop (sampler.sample_latents_cfg) runs
+    per-shard with hand-placed psum, so base checkpoints scale exactly like the
+    turbo sampler (round-2 gap: pipeline.py ran base-model CFG replicated-only).
+    """
+    from acestep_tpu import sampler as _sampler
+
+    sizes = mesh_axis_sizes(mesh)
+    tp = sizes["tp"]
+    cfg_l = local_cfg(cfg, tp)
+    pspec = _spec_tree(params_example)
+
+    @partial(
+        jax.jit,
+        static_argnames=("schedule", "infer_method", "use_attn_mask",
+                         "use_adg", "guidance_scale", "cfg_interval_start",
+                         "cfg_interval_end", "batch_sharded"),
+    )
+    def run(
+        params, noise, ctx, enc, enc_mask, enc_u, enc_u_mask, sde_key, attn_mask,
+        *, schedule, guidance_scale, cfg_interval_start=0.0, cfg_interval_end=1.0,
+        use_adg=False, infer_method="ode", use_attn_mask=False,
+        batch_sharded=False,
+    ):
+        bspec = P("dp") if batch_sharded else P()
+
+        def body(params, noise, ctx, enc, enc_mask, enc_u, enc_u_mask,
+                 sde_key, attn_mask):
+            skey = jax.random.fold_in(sde_key, jax.lax.axis_index("dp"))
+            return _sampler.sample_latents_cfg(
+                params, cfg_l, noise, ctx, enc, enc_mask, enc_u, enc_u_mask,
+                schedule,
+                guidance_scale=guidance_scale,
+                cfg_interval_start=cfg_interval_start,
+                cfg_interval_end=cfg_interval_end,
+                use_adg=use_adg, infer_method=infer_method, sde_key=skey,
+                attn_mask=attn_mask, use_attn_mask=use_attn_mask,
+                axis_name="tp",
+            )
+
+        mapped = shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, bspec, bspec, bspec, bspec, bspec, bspec,
+                      P(), bspec),
+            out_specs=bspec,
+            check_rep=False,
+        )
+        return mapped(params, noise, ctx, enc, enc_mask, enc_u, enc_u_mask,
+                      sde_key, attn_mask)
+
+    return run
+
+
 def make_tp_condition(
     dit_cfg: DiTConfig, text_cfg, mesh: Mesh, dit_params_example: Any
 ):

@@ -300,6 +300,7 @@ class AceStepEngine:
         # the sampler + condition encoders run under shard_map (parallel.tp)
         self.mesh = mesh
         self._tp_sampler = None
+        self._tp_cfg_sampler = None
         self._tp_condition = None
         if mesh is not None:
             from acestep_tpu.parallel import sharding as _sh
@@ -310,6 +311,8 @@ class AceStepEngine:
                 self.text_params = _sh.replicate(self.text_params, mesh)
             self.vae_params = _sh.replicate(self.vae_params, mesh)
             self._tp_sampler = _tp.make_tp_sampler(dit_cfg, mesh, self.dit_params)
+            self._tp_cfg_sampler = _tp.make_tp_cfg_sampler(
+                dit_cfg, mesh, self.dit_params)
             if self.text_params is not None:
                 self._tp_condition = _tp.make_tp_condition(
                     dit_cfg, text_cfg, mesh, self.dit_params
@@ -562,7 +565,8 @@ class AceStepEngine:
 
         _qmm_tok = _ql._trace_backend.set(plan.dit_qmm_backend)
         if use_cfg:
-            # base-model CFG path (replicated; TP variant is turbo-first)
+            # base-model CFG path (co-batched cond/uncond 2B forward); runs
+            # under the mesh via the shard_map TP CFG sampler when present
             if req.uncond_style_token_ids is not None:
                 req_u = dataclasses.replace(
                     req, style_token_ids=req.uncond_style_token_ids,
@@ -577,18 +581,43 @@ class AceStepEngine:
             else:
                 # neutral uncond: same packed condition fully masked out
                 enc_u, enc_u_mask = enc, jnp.zeros_like(enc_mask)
-            latents = sampler.sample_latents_cfg(
-                self.dit_params, self.dit_cfg, noise, ctx,
-                enc, enc_mask, enc_u, enc_u_mask, schedule,
-                guidance_scale=req.guidance_scale,
-                cfg_interval_start=req.cfg_interval_start,
-                cfg_interval_end=req.cfg_interval_end,
-                use_adg=req.use_adg,
-                infer_method=req.infer_method,
-                sde_key=jax.random.key(seeds[0]),
-                attn_mask=attn_mask,
-                use_attn_mask=use_attn_mask,
-            )
+            if self._tp_cfg_sampler is not None:
+                from acestep_tpu.parallel.sharding import shard_batch
+
+                dp = self.mesh.devices.shape[0]
+                batch_sharded = dp > 1 and b % dp == 0
+                if batch_sharded:
+                    noise, ctx = shard_batch(noise, self.mesh), shard_batch(ctx, self.mesh)
+                    enc, enc_mask = shard_batch(enc, self.mesh), shard_batch(enc_mask, self.mesh)
+                    enc_u = shard_batch(enc_u, self.mesh)
+                    enc_u_mask = shard_batch(enc_u_mask, self.mesh)
+                    if attn_mask is not None:
+                        attn_mask = shard_batch(attn_mask, self.mesh)
+                latents = self._tp_cfg_sampler(
+                    self.dit_params, noise, ctx, enc, enc_mask, enc_u, enc_u_mask,
+                    jax.random.key(seeds[0]), attn_mask,
+                    schedule=schedule,
+                    guidance_scale=req.guidance_scale,
+                    cfg_interval_start=req.cfg_interval_start,
+                    cfg_interval_end=req.cfg_interval_end,
+                    use_adg=req.use_adg,
+                    infer_method=req.infer_method,
+                    use_attn_mask=use_attn_mask,
+                    batch_sharded=batch_sharded,
+                )
+            else:
+                latents = sampler.sample_latents_cfg(
+                    self.dit_params, self.dit_cfg, noise, ctx,
+                    enc, enc_mask, enc_u, enc_u_mask, schedule,
+                    guidance_scale=req.guidance_scale,
+                    cfg_interval_start=req.cfg_interval_start,
+                    cfg_interval_end=req.cfg_interval_end,
+                    use_adg=req.use_adg,
+                    infer_method=req.infer_method,
+                    sde_key=jax.random.key(seeds[0]),
+                    attn_mask=attn_mask,
+                    use_attn_mask=use_attn_mask,
+                )
         elif self._tp_sampler is not None:
             from acestep_tpu.parallel.sharding import shard_batch
 

@@ -306,6 +306,7 @@ def sample(params, cfg, *args, **kwargs):
     jax.jit,
     static_argnames=(
         "cfg", "schedule", "infer_method", "use_attn_mask", "use_adg",
+        "axis_name",
     ),
 )
 def sample_latents_cfg(
@@ -327,8 +328,14 @@ def sample_latents_cfg(
     sde_key: Optional[jax.Array] = None,
     attn_mask: Optional[jax.Array] = None,
     use_attn_mask: bool = False,
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """Classifier-free-guidance Euler loop for base (non-turbo) checkpoints."""
+    """Classifier-free-guidance Euler loop for base (non-turbo) checkpoints.
+
+    ``axis_name``: set when running per-shard inside a shard_map (``cfg`` must
+    be the LOCAL per-rank config) — the DiT forward psums o_proj/down_proj,
+    cross-KV is computed per-shard for the local heads (parallel/tp.py
+    make_tp_cfg_sampler)."""
     b = noise.shape[0]
     dtype = jnp.bfloat16
     xt = noise.astype(jnp.float32)
@@ -380,6 +387,7 @@ def sample_latents_cfg(
             attn_mask=attn2,
             encoder_attn_mask=mask2,
             cross_kv_cache=kv2,
+            axis_name=axis_name,
         ).astype(jnp.float32)
         v_c, v_u = vt2[:b], vt2[b:]
 
