@@ -41,12 +41,18 @@ class GenerationParams:
     use_cot_caption: bool = True
     use_cot_language: bool = True
     lm_temperature: float = 0.85
+    # per-phase overrides (reference llm_inference.py:199-233
+    # metadata_temperature / codes_temperature); None = lm_temperature
+    lm_metadata_temperature: Optional[float] = None
+    lm_codes_temperature: Optional[float] = None
     lm_top_p: float = 0.95
     lm_top_k: int = 0
     lm_cfg_scale: float = 1.0
     lm_negative_prompt: str = "NO USER INPUT"
     lm_num_candidates: int = 1             # >1: PMI-ranked candidate selection
-    lm_constrained_cot: bool = False       # phase-1 CoT under the metadata FSM
+    # phase-1 CoT under the metadata FSM — defaults ON like the reference
+    # (inference.py:152 use_constrained_decoding=True)
+    lm_constrained_cot: bool = True
     # DiT control
     inference_steps: int = 8
     shift: float = 3.0
@@ -128,6 +134,8 @@ def generate_music(
             params.lyrics,
             target_duration_s=params.duration if params.duration > 0 else None,
             temperature=params.lm_temperature,
+            metadata_temperature=params.lm_metadata_temperature,
+            codes_temperature=params.lm_codes_temperature,
             top_p=params.lm_top_p,
             top_k=params.lm_top_k,
             cfg_scale=params.lm_cfg_scale,

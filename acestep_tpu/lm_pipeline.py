@@ -504,6 +504,8 @@ class LMPipeline:
         target_duration_s: Optional[float] = None,
         *,
         temperature: float = 0.85,
+        metadata_temperature: Optional[float] = None,
+        codes_temperature: Optional[float] = None,
         top_p: float = 0.95,
         top_k: int = 0,
         cfg_scale: float = 1.0,
@@ -529,6 +531,13 @@ class LMPipeline:
         key = jax.random.key(seed)
         k1, k2 = jax.random.split(key)
 
+        # distinct metadata- vs codes-phase temperatures ride the same knob
+        # surface as the reference constrained processor
+        # (llm_inference.py:199-233 metadata_temperature / codes_temperature);
+        # None falls back to the shared ``temperature``
+        t_meta = temperature if metadata_temperature is None else metadata_temperature
+        t_codes = temperature if codes_temperature is None else codes_temperature
+
         metadata: Dict[str, Any] = dict(user_metadata or {})
         cot_text = ""
         if thinking:
@@ -536,12 +545,12 @@ class LMPipeline:
             if constrained_cot:
                 cot_text = self._run_cot_fsm(
                     caption, lyrics, metadata, k1,
-                    temperature=temperature, max_cot_tokens=max_cot_tokens,
+                    temperature=t_meta, max_cot_tokens=max_cot_tokens,
                 )
             else:
                 cot_text = self._run_cot_free(
                     caption, lyrics, k1,
-                    temperature=temperature, top_p=top_p, top_k=top_k,
+                    temperature=t_meta, top_p=top_p, top_k=top_k,
                     cfg_scale=cfg_scale, negative_prompt=negative_prompt,
                     max_cot_tokens=max_cot_tokens,
                 )
@@ -567,7 +576,7 @@ class LMPipeline:
         base = self.tok.audio_code_base_id
         bucket = code_bucket(n_codes + 2)
         sp2 = SamplingParams(
-            temperature=temperature, top_p=top_p, top_k=top_k,
+            temperature=t_codes, top_p=top_p, top_k=top_k,
             max_new_tokens=bucket,
             allowed_range=(base, base + AUDIO_CODEBOOK_SIZE),
             eos_token=self.tok.eos_token_id,

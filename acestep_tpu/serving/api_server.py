@@ -135,6 +135,18 @@ PARAM_ALIASES = {
     "audio_format": ["audio_format", "audioFormat", "format"],
     "constrained_decoding": ["constrained_decoding", "constrainedDecoding",
                              "constrained"],
+    "lm_temperature": ["lm_temperature", "lmTemperature"],
+    "lm_metadata_temperature": ["lm_metadata_temperature",
+                                "lmMetadataTemperature",
+                                "metadata_temperature"],
+    "lm_codes_temperature": ["lm_codes_temperature", "lmCodesTemperature",
+                             "codes_temperature"],
+    "lm_top_p": ["lm_top_p", "lmTopP"],
+    "lm_top_k": ["lm_top_k", "lmTopK"],
+    "lm_cfg_scale": ["lm_cfg_scale", "lmCfgScale"],
+    "lm_negative_prompt": ["lm_negative_prompt", "lmNegativePrompt"],
+    "lm_num_candidates": ["lm_num_candidates", "lmNumCandidates"],
+    "lm_batch_chunk_size": ["lm_batch_chunk_size", "lmBatchChunkSize"],
 }
 
 

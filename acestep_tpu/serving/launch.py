@@ -58,6 +58,30 @@ def build_engine(checkpoint: Optional[str], quant: str):
     return eng, None
 
 
+def build_lm(checkpoint: Optional[str]):
+    """LMPipeline from a converted checkpoint's lm/ component + tokenizer.json
+    (tools/convert_checkpoint.py --lm output).  None when the checkpoint has
+    no LM — the server then runs the engine-only fn, like the reference with
+    lm_model_path unset."""
+    if not checkpoint:
+        return None
+    import json
+
+    from acestep_tpu import loader
+    from acestep_tpu.config import QwenConfig
+    from acestep_tpu.lm_pipeline import LMPipeline, TokenizerJsonAdapter
+
+    lm_dir = os.path.join(checkpoint, "lm")
+    tok_path = os.path.join(checkpoint, "tokenizer.json")
+    if not os.path.exists(lm_dir + ".safetensors") or not os.path.exists(tok_path):
+        return None
+    cfg_path = os.path.join(checkpoint, "lm.config.json")
+    with open(cfg_path) as f:
+        cfg = QwenConfig.from_dict(json.load(f))
+    return LMPipeline(loader.load_params(lm_dir), cfg,
+                      TokenizerJsonAdapter(tok_path))
+
+
 def make_generate_fn(engine, tokenizer=None):
     """payload dict -> result dict (audio base64 + metadata + timings)."""
     import numpy as np
@@ -134,6 +158,85 @@ def make_generate_fn(engine, tokenizer=None):
     return generate
 
 
+def make_full_generate_fn(engine, lm, codec_params=None, tokenizer=None):
+    """payload dict -> result dict through the FULL pipeline
+    (inference.generate_music): LM CoT+codes phase -> metadata merge ->
+    code-hints -> DiT -> decode.  Mirrors the reference API server's param
+    block (api_server.py:2280-2315: lm_temperature/lm_cfg_scale/lm_top_k/
+    lm_top_p/constrained_decoding/thinking) plus the per-phase temperature
+    knobs (llm_inference.py:199-233)."""
+    import base64 as _b64
+
+    import numpy as np
+
+    from acestep_tpu.inference import (GenerationConfig, GenerationParams,
+                                       generate_music)
+
+    tok = tokenizer if tokenizer is not None else getattr(lm, "tok", None)
+
+    def tokenize(text: str, cap: int):
+        if not text:
+            return None
+        if tok is not None:
+            ids = tok.encode(text)[:cap]
+            return np.asarray([ids], np.int32) if ids else None
+        ids = [b % 32000 for b in text.encode()][:cap]
+        return np.asarray([ids], np.int32)
+
+    def generate(payload: Dict[str, Any]) -> Dict[str, Any]:
+        from acestep_tpu.serving.api_server import RequestParser
+        from acestep_tpu.utils.audio import wav_bytes
+
+        p = RequestParser(payload)
+        caption, lyrics = p.str("caption"), p.str("lyrics")
+        params = GenerationParams(
+            caption=caption,
+            lyrics=lyrics,
+            bpm=p.int("bpm") or None,
+            keyscale=p.str("keyscale"),
+            timesignature=p.str("timesignature"),
+            duration=p.float("duration", -1.0),
+            language=p.str("language"),
+            task_type=p.str("task_type", "text2music"),
+            thinking=p.bool("thinking", True),
+            lm_temperature=p.float("lm_temperature", 0.85),
+            lm_metadata_temperature=p.float("lm_metadata_temperature"),
+            lm_codes_temperature=p.float("lm_codes_temperature"),
+            lm_top_p=p.float("lm_top_p", 0.95),
+            lm_top_k=p.int("lm_top_k", 0),
+            lm_cfg_scale=p.float("lm_cfg_scale", 1.0),
+            lm_negative_prompt=p.str("lm_negative_prompt", "NO USER INPUT"),
+            lm_num_candidates=p.int("lm_num_candidates", 1),
+            lm_constrained_cot=p.bool("constrained_decoding", True),
+            inference_steps=p.int("inference_steps", 8),
+            shift=p.float("shift", 3.0),
+            infer_method=p.str("infer_method", "ode"),
+            audio_cover_strength=p.float("audio_cover_strength", 1.0),
+            style_token_ids=tokenize(caption, 256),
+            lyric_token_ids=tokenize(lyrics, 2048),
+        )
+        config = GenerationConfig(
+            batch_size=p.int("batch_size", 1),
+            seeds=[p.int("seed", 0)],
+            lm_batch_chunk_size=p.int("lm_batch_chunk_size", 4),
+        )
+        res = generate_music(engine, lm, params, config,
+                             codec_params=codec_params)
+        segments = [s[0] for s in res.dit_result.pcm16_segments()]
+        return {
+            "audio_base64": _b64.b64encode(
+                wav_bytes(segments, res.sample_rate)).decode(),
+            "audio_format": "wav",
+            "sample_rate": res.sample_rate,
+            "metadata": res.metadata,
+            "cot_text": res.lm_result.cot_text if res.lm_result else "",
+            "time_costs": {k: round(v, 3) for k, v in res.time_costs.items()},
+            "seeds": res.seeds,
+        }
+
+    return generate
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["api", "openrouter"])
@@ -146,7 +249,9 @@ def main(argv=None):
     print(f"building engine (quant={args.quant}, checkpoint={args.checkpoint})...",
           file=sys.stderr)
     engine, dit_base_params = build_engine(args.checkpoint, args.quant)
-    generate = make_generate_fn(engine)
+    lm = build_lm(args.checkpoint)
+    generate = (make_full_generate_fn(engine, lm) if lm is not None
+                else make_generate_fn(engine))
 
     if args.mode == "api":
         from acestep_tpu.serving.api_server import ApiServer

@@ -117,3 +117,47 @@ def test_genres_vocab_file_loading(tmp_path, monkeypatch):
     # FSMConfig default pulls from the file
     cfg = FSMConfig()
     assert cfg.genres_vocab == ["bebop"]
+
+
+def test_forced_mask_matches_bruteforce():
+    """PieceIndex forced-text masks == the O(V) allowed_piece scan (minus
+    empty pieces, which make no progress and are excluded by design)."""
+    from acestep_tpu import constrained as C
+
+    vocab = VOCAB + ["", "bp", "bpm", "bpm: 12", "m: "]
+    fsm = MetadataFSM()
+    assert fsm.forced_text == "bpm: "
+    got = C.piece_index(vocab).forced_mask(fsm.forced_text)
+    want = np.array([bool(p) and fsm.allowed_piece(p) for p in vocab])
+    np.testing.assert_array_equal(got, want)
+    # multi-char piece covering forced text + value start
+    assert got[vocab.index("bpm: 12")]
+    assert got[vocab.index("bp")]
+    assert not got[vocab.index("zz")]
+
+
+def test_mask_table_shared_across_instances():
+    """Per-state masks are static sets: two FSM instances in the same state
+    return the SAME cached array (no O(V) rescan per request)."""
+    from acestep_tpu import constrained as C
+
+    vocab = list(VOCAB)
+    m1 = MetadataFSM().allowed(vocab)
+    m2 = MetadataFSM().allowed(vocab)
+    assert m1 is m2
+    # ...but user metadata changes the state signature
+    f3 = MetadataFSM(user_metadata={"bpm": "120"})
+    for p in "bpm: ":
+        f3.step(p)
+    f1 = MetadataFSM()
+    for p in "bpm: ":
+        f1.step(p)
+    a, b = f1.allowed(vocab), f3.allowed(vocab)
+    assert a[vocab.index("9")] and not b[vocab.index("9")]
+    assert b[vocab.index("1")]
+
+
+def test_fsm_generation_still_valid_under_tables():
+    """End-to-end FSM drive exercises forced fast path + value states."""
+    text, fsm = _greedy_fsm(seed=11)
+    assert fsm.done and text.endswith("</think>")

@@ -36,6 +36,7 @@ TINY_TEXT = QwenConfig(
 class MockTok:
     eos_token_id = 400
     think_end_id = 401
+    newline_id = 402          # real tokenizers always carry "\n" (FSM field end)
     audio_code_base_id = 410
 
     def encode(self, text):
@@ -46,6 +47,8 @@ class MockTok:
         for i in ids:
             if i == self.think_end_id:
                 out.append("</think>")
+            elif i == self.newline_id:
+                out.append("\n")
             elif i >= self.audio_code_base_id:
                 out.append(f"<|audio_code_{int(i) - self.audio_code_base_id}|>")
             elif i < 256:
@@ -166,3 +169,47 @@ def test_understand_audio_from_waveform():
     audio = 0.3 * np.sin(2 * np.pi * 330 * t)[:, None].repeat(2, 1).astype(np.float32)
     out = inf.understand_audio(engine, lm, codec_params, audio, max_tokens=32)
     assert "raw_output" in out
+
+def test_per_phase_temperatures(stack, monkeypatch):
+    """metadata_temperature / codes_temperature override the shared knob per
+    phase (llm_inference.py:199-233): codes_temperature=0 makes the code
+    phase greedy-deterministic across seeds even at a hot base temperature."""
+    import acestep_tpu.lm_pipeline as lp
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    _, lm = stack
+    kw = dict(target_duration_s=4.0, temperature=1.5, codes_temperature=0.0,
+              thinking=False, constrained_cot=False)
+    a = lm.generate_with_stop_condition("jazz", "la", seed=1, **kw)
+    b = lm.generate_with_stop_condition("jazz", "la", seed=2, **kw)
+    np.testing.assert_array_equal(a.code_indices, b.code_indices)
+    # hot codes phase under different seeds diverges (sanity that the knob
+    # actually changes behavior)
+    kw["codes_temperature"] = 1.5
+    c = lm.generate_with_stop_condition("jazz", "la", seed=1, **kw)
+    d = lm.generate_with_stop_condition("jazz", "la", seed=2, **kw)
+    assert not np.array_equal(c.code_indices, d.code_indices)
+
+
+def test_fsm_cot_with_batched_candidates(stack, monkeypatch):
+    """Constrained CoT (default ON, reference inference.py:152) coexists with
+    batched candidate generation: one FSM phase-1, batched phase-2."""
+    import acestep_tpu.lm_pipeline as lp
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    _, lm = stack
+    res = lm.generate_with_stop_condition(
+        "pop", "hey", target_duration_s=4.0, temperature=0.8, seed=5,
+        thinking=True, constrained_cot=True, batch_size=3, chunk_size=2)
+    assert len(res.candidates) == 3
+    assert res.cot_text.startswith("<think>")
+    # FSM-forced canonical field order runs to completion
+    for field in ("bpm: ", "timesignature: ", "keyscale: ", "duration: ",
+                  "language: "):
+        assert field in res.cot_text, res.cot_text
+    for cand in res.candidates:
+        assert (cand >= 0).all() and (cand < 100).all()
+
+
+def test_generation_params_constrained_default_on():
+    assert inference.GenerationParams().lm_constrained_cot is True

@@ -57,3 +57,32 @@ def test_generate_fn_cfg_knobs():
                "inference_steps": 4})
     assert out["audio_format"] == "wav"
     assert out["time_costs"]["diffusion_time_cost"] > 0
+
+
+def test_full_generate_fn_lm_pipeline(monkeypatch):
+    """make_full_generate_fn drives the FULL pipeline (LM CoT+codes ->
+    metadata merge -> DiT) from a raw payload, incl. the per-phase temperature
+    + constrained-decoding knobs of the reference param block
+    (api_server.py:2280-2315)."""
+    import acestep_tpu.lm_pipeline as lp
+    from acestep_tpu.lm_pipeline import LMPipeline
+    from acestep_tpu.serving.launch import make_full_generate_fn
+    from tests.test_inference import MockTok, TINY_TEXT as LM_CFG
+
+    monkeypatch.setattr(lp, "AUDIO_CODEBOOK_SIZE", 100)
+    engine = _engine()
+    lm = LMPipeline(
+        qwen_mod.init_params(jax.random.key(4), LM_CFG, dtype=jnp.float32),
+        LM_CFG, MockTok())
+    gen = make_full_generate_fn(engine, lm)
+    out = gen({
+        "caption": "warm pads", "lyrics": "oh", "duration": 10,
+        "seed": 2, "bpm": 128,
+        "lm_codes_temperature": 0.0, "constrained_decoding": True,
+    })
+    data = base64.b64decode(out["audio_base64"])
+    assert data[:4] == b"RIFF"
+    assert out["metadata"].get("bpm") == 128      # user metadata wins
+    assert out["cot_text"].startswith("<think>")
+    assert "bpm: 128" in out["cot_text"]          # FSM injected user value
+    assert "lm_phase2_time_cost" in out["time_costs"]

@@ -97,6 +97,14 @@ def main():
         cfg = _load_cfg(args.lm, QwenConfig)
         lm_quant = args.lm_quant or quant
         convert("lm", args.lm, lambda st, c: loader.load_qwen(st, c, quant=lm_quant), cfg)
+        # ship the tokenizer next to the converted weights so serving needs no
+        # source-checkpoint access (launch.py build_lm reads tokenizer.json)
+        tok_src = os.path.join(args.lm, "tokenizer.json")
+        if os.path.isdir(args.lm) and os.path.exists(tok_src):
+            import shutil
+
+            shutil.copyfile(tok_src, os.path.join(args.out, "tokenizer.json"))
+            manifest["components"]["tokenizer"] = {"source": tok_src}
 
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)

@@ -1,0 +1,278 @@
+#!/usr/bin/env python
+"""Quality-parity eval on TRAINED weights (VERDICT r2 item 5).
+
+Trains the half-scale flagship DiT (the ``dryrun_multichip`` config) to
+convergence on a synthetic-audio dataset with the real training stack
+(training/data.py preprocessing + Trainer mode="full"), then runs the quant
+eval (fp_bf16 vs q8_0/q4_0/q4_k/q6_k) on the trained checkpoint — the
+reference's audio-level gate (acestep_ggml/tools/
+eval_quant_prompt_pipeline.py:199-228) demands Q8_0 waveform cosine ~0.999
+and Q4_K its ~0.93 band (BASELINE.md tables); round 1/2 could only argue from
+random weights, where the untrained sampler loop amplifies quant noise.
+
+Phases (resumable): --phase data | train | eval | all
+"""
+
+from __future__ import annotations
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# half-scale flagship (same topology as __graft_entry__.dryrun_multichip):
+# real turbo layout — GQA 16/8, patch 2, alternating sliding/full — at half
+# depth/width.  VAE hop 32 with sampling_rate 800 => exactly 25 Hz latents
+# (pipeline.LATENT_RATE), so duration math matches the full-scale engine.
+HALF_DIT = dict(
+    hidden_size=512, intermediate_size=1536, num_hidden_layers=8,
+    num_attention_heads=16, num_key_value_heads=8, head_dim=32,
+    in_channels=192, audio_acoustic_hidden_dim=64, patch_size=2,
+    sliding_window=16, text_hidden_dim=256,
+    num_lyric_encoder_hidden_layers=2, num_timbre_encoder_hidden_layers=1,
+    timbre_hidden_dim=64,
+)
+HALF_VAE = dict(
+    encoder_hidden_size=128, decoder_channels=16, decoder_input_channels=64,
+    downsampling_ratios=(2, 4, 4), channel_multiples=(1, 2, 4),
+    sampling_rate=800,
+)
+HALF_TEXT = dict(
+    vocab_size=512, hidden_size=256, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, intermediate_size=512,
+    head_dim=64,
+)
+
+N_SONGS = 64
+SONG_S = 10.0
+SR = 800
+HOP = 32
+
+
+def synth_song(rng: np.random.Generator) -> np.ndarray:
+    """One synthetic stereo 'song': a chord progression of band-limited
+    harmonics with ADSR-ish envelopes + a noise-burst percussion track.
+    Structured (non-iid) so flow-matching has something real to learn."""
+    n = int(SONG_S * SR)
+    t = np.arange(n) / SR
+    audio = np.zeros((n, 2), np.float32)
+    # 4 bars, each with a chord of 3 fundamentals in [55, 220] Hz
+    bars = 4
+    bar_n = n // bars
+    for b in range(bars):
+        f0 = rng.uniform(55.0, 180.0)
+        ratios = rng.choice([1.0, 1.25, 1.5, 2.0], size=3, replace=False)
+        seg = slice(b * bar_n, (b + 1) * bar_n)
+        ts = t[seg] - t[seg.start]
+        env = np.minimum(ts * 8.0, 1.0) * np.exp(-ts * rng.uniform(0.2, 1.0))
+        for r in ratios:
+            f = f0 * r
+            if f >= SR / 2:
+                continue
+            ph = rng.uniform(0, 2 * np.pi)
+            pan = rng.uniform(0.2, 0.8)
+            wave = np.sin(2 * np.pi * f * ts + ph).astype(np.float32) * env
+            audio[seg, 0] += wave * pan * 0.3
+            audio[seg, 1] += wave * (1 - pan) * 0.3
+    # percussion: short filtered-noise bursts on a grid
+    beat = int(SR * 0.5)
+    for k in range(0, n - beat, beat):
+        burst_n = int(SR * 0.05)
+        burst = rng.standard_normal(burst_n).astype(np.float32)
+        burst *= np.exp(-np.arange(burst_n) / (SR * 0.01)) * 0.2
+        audio[k: k + burst_n, 0] += burst
+        audio[k: k + burst_n, 1] += burst
+    peak = np.abs(audio).max() + 1e-6
+    return audio / max(1.0, peak / 0.95)
+
+
+def _configs():
+    from acestep_tpu.config import DiTConfig, QwenConfig, VAEConfig
+
+    return (DiTConfig(**HALF_DIT), VAEConfig(**HALF_VAE), QwenConfig(**HALF_TEXT))
+
+
+def _init_params(jnp, jax, dit_cfg, vae_cfg, text_cfg, dtype):
+    from acestep_tpu.models import dit, qwen, vae
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    dit_p = jax.jit(lambda k: dit.init_params(k, dit_cfg, dtype=dtype))(k1)
+    vae_p = jax.jit(lambda k: vae.init_params(k, vae_cfg))(k2)
+    text_p = jax.jit(lambda k: qwen.init_params(k, text_cfg, dtype=dtype))(k3)
+    return dit_p, vae_p, text_p
+
+
+def phase_data(out: str) -> None:
+    import jax.numpy as jnp
+    import jax
+
+    from acestep_tpu.pipeline import AceStepEngine
+    from acestep_tpu.training.data import build_dataset
+
+    dit_cfg, vae_cfg, text_cfg = _configs()
+    dit_p, vae_p, text_p = _init_params(jnp, jax, dit_cfg, vae_cfg, text_cfg,
+                                        jnp.float32)
+    engine = AceStepEngine(dit_p, dit_cfg, vae_p, vae_cfg, text_p, text_cfg)
+    rng = np.random.default_rng(42)
+    samples = []
+    for i in range(N_SONGS):
+        samples.append({
+            "audio": synth_song(rng),
+            "style_token_ids": rng.integers(1, 500, (1, 12)),
+            "lyric_token_ids": rng.integers(1, 500, (1, 16)),
+        })
+    build_dataset(engine, samples, os.path.join(out, "dataset"))
+    print(f"[data] {N_SONGS} songs -> {out}/dataset", file=sys.stderr)
+
+
+def phase_train(out: str, total_steps: int, batch_size: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.models import dit as dit_mod
+    from acestep_tpu.training.data import PreprocessedDataset
+    from acestep_tpu.training.trainer import MetricsLogger, TrainConfig, Trainer
+
+    dit_cfg, _, _ = _configs()
+    base = jax.jit(lambda k: dit_mod.init_params(k, dit_cfg, dtype=jnp.float32))(
+        jax.random.key(0))
+    tc = TrainConfig(mode="full", lr=3e-4,
+                     warmup_steps=max(1, min(200, total_steps // 10)),
+                     total_steps=total_steps, checkpoint_every=1000,
+                     log_every=50)
+    tr = Trainer(base, dit_cfg, tc, os.path.join(out, "train"))
+    if tr.resume():
+        print(f"[train] resumed at step {tr.step}", file=sys.stderr)
+    ds = PreprocessedDataset(os.path.join(out, "dataset"))
+    metrics = MetricsLogger(os.path.join(out, "train", "metrics.jsonl"))
+    res = tr.train(ds.batches(batch_size, seed=1), max_steps=total_steps,
+                   log_fn=lambda s: print(f"[train] {s}", file=sys.stderr),
+                   metrics=metrics)
+    tr.save_checkpoint()
+    path = tr.export("dit_trained")
+    first = np.mean(tr.history[:50]) if len(tr.history) > 50 else float("nan")
+    last = np.mean(tr.history[-50:])
+    print(f"[train] done: {res['steps']} steps, loss {first:.4f} -> {last:.4f} "
+          f"-> {path}", file=sys.stderr)
+
+
+def phase_eval(out: str, report_dir: str) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu import loader
+    from acestep_tpu.eval_metrics import waveform_metrics
+    from acestep_tpu.pipeline import AceStepEngine, GenerationRequest
+    from acestep_tpu.quant import quantize_tree_jax
+    from acestep_tpu.utils.audio import write_wav
+
+    dit_cfg, vae_cfg, text_cfg = _configs()
+    _, vae_p, text_p = _init_params(jnp, jax, dit_cfg, vae_cfg, text_cfg,
+                                    jnp.bfloat16)
+    trained = loader.load_params(os.path.join(out, "train", "dit_trained"))
+    fp_dit = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.bfloat16)
+        if getattr(a, "dtype", None) == np.float32 else a, trained)
+
+    os.makedirs(report_dir, exist_ok=True)
+    rng = np.random.default_rng(3)
+    req = GenerationRequest(
+        duration_s=SONG_S,
+        style_token_ids=rng.integers(1, 500, (1, 12)),
+        lyric_token_ids=rng.integers(1, 500, (1, 16)),
+        seeds=[17],
+    )
+
+    rows = []
+
+    def run(name, dit_p):
+        import gc
+
+        engine = AceStepEngine(dit_p, dit_cfg, vae_p, vae_cfg, text_p, text_cfg)
+        engine.generate(req)
+        t0 = time.time()
+        res = engine.generate(req)
+        infer_s = time.time() - t0
+        wav, lat = res.audio[0], res.latents[0]
+        write_wav(os.path.join(report_dir, f"{name}.wav"), wav, res.sample_rate)
+        print(f"[eval] {name}: {infer_s:.2f}s", file=sys.stderr)
+        del engine
+        gc.collect()
+        return wav, lat, infer_s
+
+    fp_wav, fp_lat, fp_s = run("fp_bf16", fp_dit)
+    rows.append({"variant": "fp_bf16", "infer_s": fp_s})
+    for fmt in ("q8_0", "q4_0", "q4_k", "q6_k"):
+        q_dit = quantize_tree_jax(fp_dit, fmt)
+        wav, lat, infer_s = run(fmt, q_dit)
+        m = waveform_metrics(fp_wav, wav)
+        a = fp_lat.astype(np.float64).ravel()
+        b = lat.astype(np.float64).ravel()
+        m["latent_cos"] = float(
+            a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        rows.append({"variant": fmt, "infer_s": infer_s, "metrics": m})
+
+    lines = [
+        "| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |",
+        "|---|---:|---:|---:|---:|---:|---:|---:|",
+    ]
+    for r in rows:
+        m = r.get("metrics")
+        if m is None:
+            lines.append(f"| {r['variant']} | {r['infer_s']:.3f} | — | — | — | — | — | — |")
+        else:
+            lines.append(
+                f"| {r['variant']} | {r['infer_s']:.3f} | {m['latent_cos']:.6f} "
+                f"| {m['mae']:.6f} | {m['rmse']:.6f} | {m['cosine']:.6f} "
+                f"| {m['snr_db']:.2f} | {m['lsd']:.4f} |")
+    summary = "\n".join(lines)
+    with open(os.path.join(report_dir, "summary.md"), "w") as f:
+        f.write(
+            "# Quant eval on TRAINED weights — half-scale flagship, "
+            f"{SONG_S:.0f}s clip\n\n"
+            "DiT trained to convergence on synthetic audio with the real "
+            "training stack (tools/train_quality_eval.py; dataset/loss curves "
+            "in the sibling train/ dir); metrics vs the trained fp_bf16 "
+            "output, same seed/noise.  Reference gate: BASELINE.md quality "
+            "tables (Q8_0 waveform cosine ~0.999, Q4_K ~0.93).\n\n"
+            f"{summary}\n")
+    with open(os.path.join(report_dir, "summary.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+    print(summary)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    choices=("data", "train", "eval", "all"))
+    ap.add_argument("--out", default="reports/train_quality_r3")
+    ap.add_argument("--report", default="reports/quant_eval_r3")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    cache = os.path.abspath(".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.phase in ("data", "all") and not os.path.exists(
+            os.path.join(args.out, "dataset", "manifest.json")):
+        phase_data(args.out)
+    if args.phase in ("train", "all"):
+        phase_train(args.out, args.steps, args.batch_size)
+    if args.phase in ("eval", "all"):
+        phase_eval(args.out, args.report)
+
+
+if __name__ == "__main__":
+    main()
