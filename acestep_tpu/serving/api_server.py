@@ -273,6 +273,7 @@ class ApiServer:
         audio_dir: Optional[str] = None,
         lora_runtime: Optional[Any] = None,
         training_manager: Optional[Any] = None,
+        batcher: Optional[Any] = None,
     ):
         # /v1/audio downloads are restricted to this directory (path-traversal
         # guard, api_server.py:898-930 _validate_audio_path)
@@ -284,6 +285,10 @@ class ApiServer:
         self.api_key = api_key if api_key is not None else os.environ.get("ACESTEP_TPU_API_KEY")
         self.lora_runtime = lora_runtime
         self.training_manager = training_manager
+        # optional ContinuousBatcher whose merge-rate stats ride /v1/stats
+        # (the worker itself stays serial; deployments that want merged
+        # batches point generate_fn at batcher.submit(...).result())
+        self.batcher = batcher
         self.store = JobStore()
         self.latency = LatencyStats()
         from acestep_tpu.progress import ProgressEstimator
@@ -399,10 +404,13 @@ class ApiServer:
                 if self.path == "/v1/models":
                     return self._send(200, server.models_info)
                 if self.path == "/v1/stats":
-                    return self._send(200, {
+                    out = {
                         **server.store.counts(),
                         "latency": server.latency.summary(),
-                    })
+                    }
+                    if server.batcher is not None:
+                        out["batching"] = server.batcher.stats_summary()
+                    return self._send(200, out)
                 if self.path.startswith("/v1/audio"):
                     from urllib.parse import parse_qs, urlparse
 

@@ -49,17 +49,33 @@ class _Pending:
 AGING_S = 5.0                # queued priority rises one level per AGING_S
 
 
+def _merge_key(req: GenerationRequest) -> Tuple:
+    """Fields that must be EQUAL for a semantically correct merge (everything
+    merge_requests copies from reqs[0] that changes the computed graph or the
+    guidance math).  Frame/token buckets are NOT in the key — shorter requests
+    pad up to the batch's bucket and per-item masks carry validity."""
+    return (
+        req.task, req.shift,
+        tuple(req.timesteps) if req.timesteps else None,
+        req.infer_method, req.infer_steps, req.guidance_scale, req.use_adg,
+        req.cfg_interval_start, req.cfg_interval_end,
+        req.audio_cover_strength, req.repaint_start_s, req.repaint_end_s,
+        req.track_name,
+        tuple(req.complete_track_classes) if req.complete_track_classes else None,
+    )
+
+
+def _req_frames(req: GenerationRequest) -> int:
+    return bucket_frames(frames_for_duration(req.duration_s))
+
+
 def _shape_key(req: GenerationRequest) -> Tuple:
-    """Requests sharing this key can merge into one compiled batch."""
-    frames = bucket_frames(frames_for_duration(req.duration_s))
+    """Exact compile-shape key (merge key + frame/token buckets) — requests
+    sharing it merge with zero padding overhead."""
     style_b = _token_bucket(req.style_token_ids.shape[1]) if req.style_token_ids is not None else 0
     lyric_b = _token_bucket(req.lyric_token_ids.shape[1]) if req.lyric_token_ids is not None else 0
     timbre = req.refer_latents.shape[1] if req.refer_latents is not None else 0
-    return (
-        frames, style_b, lyric_b, timbre, req.task,
-        req.shift, tuple(req.timesteps) if req.timesteps else None,
-        req.infer_method,
-    )
+    return _merge_key(req) + (_req_frames(req), style_b, lyric_b, timbre)
 
 
 def _pad_ids(ids: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -72,10 +88,14 @@ def _pad_ids(ids: np.ndarray, bucket: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def merge_requests(reqs: List[GenerationRequest]) -> GenerationRequest:
-    """Merge shape-compatible single requests into one batched request."""
+    """Merge semantically compatible single requests into one batched request.
+
+    Mixed frame buckets are allowed: shorter items pad up to the batch's max
+    bucket (the engine's per-item duration masks carry validity — configs[3]
+    cross-bucket continuous batching)."""
     assert reqs
-    key = _shape_key(reqs[0])
-    assert all(_shape_key(r) == key for r in reqs), "incompatible merge"
+    key = _merge_key(reqs[0])
+    assert all(_merge_key(r) == key for r in reqs), "incompatible merge"
     out = dataclasses.replace(reqs[0])
     out.batch_size = sum(r.batch_size for r in reqs)
     out.durations_s = [
@@ -176,15 +196,35 @@ class ContinuousBatcher:
         run_fn: Callable[[GenerationRequest], GenerationResult],
         max_batch: int = 8,
         max_wait_s: float = 0.25,
+        pad_ratio: float = 2.5,
     ):
+        # pad_ratio: max frame-bucket spread inside one merged batch — shorter
+        # requests pad up to the batch bucket (wasting <= (ratio-1)/ratio of
+        # their lanes) in exchange for fewer dispatches; 1.0 = exact-bucket
+        # merging only
         self.run_fn = run_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
+        self.pad_ratio = max(1.0, pad_ratio)
         self._queues: Dict[Tuple, List[_Pending]] = {}
         self._lock = threading.Condition()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self.stats = {"batches": 0, "requests": 0, "merged_sizes": []}
+        self.stats = {"batches": 0, "requests": 0, "merged_sizes": [],
+                      "padded_items": 0}
+
+    def stats_summary(self) -> Dict[str, Any]:
+        """Merge-rate stats for /v1/stats (nano-vllm scheduler exposes its
+        batch occupancy the same way)."""
+        sizes = self.stats["merged_sizes"]
+        return {
+            "requests": self.stats["requests"],
+            "batches": self.stats["batches"],
+            "avg_merged_batch": round(sum(sizes) / len(sizes), 2) if sizes else 0.0,
+            "max_merged_batch": max(sizes) if sizes else 0,
+            "padded_items": self.stats["padded_items"],
+            "queued": sum(len(q) for q in self._queues.values()),
+        }
 
     def start(self):
         self._thread.start()
@@ -200,7 +240,7 @@ class ContinuousBatcher:
         fut: Future = Future()
         p = _Pending(uuid.uuid4().hex, req, fut, time.time(), priority)
         with self._lock:
-            self._queues.setdefault(_shape_key(req), []).append(p)
+            self._queues.setdefault(_merge_key(req), []).append(p)
             self.stats["requests"] += 1
             self._lock.notify_all()
         return fut
@@ -224,13 +264,28 @@ class ContinuousBatcher:
             total = sum(p.req.batch_size for p in q)
             age = now - min(p.arrived for p in q)
             if total >= self.max_batch or age >= self.max_wait_s:
+                # greedy pad-up window from the highest-priority anchor: an
+                # item joins while the batch's frame-bucket spread stays
+                # within pad_ratio (it will pad up to the batch max bucket)
                 take, n = [], 0
-                while q and n + q[0].req.batch_size <= self.max_batch:
-                    p = q.pop(0)
-                    take.append(p)
-                    n += p.req.batch_size
+                fmin = fmax = _req_frames(q[0].req)
+                i = 0
+                while i < len(q):
+                    p = q[i]
+                    f = _req_frames(p.req)
+                    nf_min, nf_max = min(fmin, f), max(fmax, f)
+                    if (n + p.req.batch_size <= self.max_batch
+                            and nf_max <= nf_min * self.pad_ratio):
+                        take.append(q.pop(i))
+                        n += p.req.batch_size
+                        fmin, fmax = nf_min, nf_max
+                    else:
+                        i += 1
                 if not take:       # single over-size request: run alone
                     take = [q.pop(0)]
+                if len(take) > 1:
+                    self.stats["padded_items"] += sum(
+                        1 for p in take if _req_frames(p.req) < fmax)
                 return take
             if best is None or age > now - best[0].arrived:
                 best = q

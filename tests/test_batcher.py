@@ -50,8 +50,12 @@ class TestMerge:
         assert m.lyric_mask[0].sum() == 9 and m.lyric_mask[1].sum() == 3
 
     def test_merge_rejects_incompatible(self):
+        import dataclasses
+
+        # mixed lyric presence is mergeable (zero-mask fill); a semantic knob
+        # like infer_steps that merge_requests copies from reqs[0] is not
         with pytest.raises(AssertionError):
-            merge_requests([_req(lyric_len=9), _req()])   # lyric presence differs
+            merge_requests([_req(), dataclasses.replace(_req(), infer_steps=20)])
 
     def test_split_result(self):
         res = GenerationResult(
@@ -203,3 +207,99 @@ def test_priority_preempts_queued_work():
         batcher.stop()
     # 13s (high priority) must run before 12s despite arriving later
     assert order.index(13.0) < order.index(12.0)
+
+
+class TestCrossBucketMerge:
+    def _run_fn(self, calls):
+        def run(req):
+            calls.append((req.batch_size, req.duration_s))
+            b = req.batch_size
+            return GenerationResult(
+                audio=np.zeros((b, 10, 2)), latents=np.zeros((b, 5, 4)),
+                sample_rate=48000, time_costs={}, seeds=list(req.seeds or [0] * b),
+                audio_lengths=[10] * b,
+            )
+        return run
+
+    def test_pad_up_merges_across_frame_buckets(self):
+        """10s and 20s requests merge into ONE dispatch at the 20s bucket
+        (spread 2.0 <= pad_ratio); per-item durations ride durations_s."""
+        calls = []
+        batcher = ContinuousBatcher(self._run_fn(calls), max_batch=4,
+                                    max_wait_s=0.1, pad_ratio=2.5).start()
+        try:
+            f1 = batcher.submit(_req(dur=10.0, seeds=[1]))
+            f2 = batcher.submit(_req(dur=20.0, seeds=[2]))
+            f1.result(timeout=5), f2.result(timeout=5)
+        finally:
+            batcher.stop()
+        assert len(calls) == 1 and calls[0] == (2, 20.0)
+        assert batcher.stats["padded_items"] == 1
+        s = batcher.stats_summary()
+        assert s["avg_merged_batch"] == 2.0 and s["requests"] == 2
+
+    def test_pad_ratio_limits_spread(self):
+        """10s and 60s stay separate (spread ~6 > pad_ratio 2.5)."""
+        calls = []
+        batcher = ContinuousBatcher(self._run_fn(calls), max_batch=4,
+                                    max_wait_s=0.05, pad_ratio=2.5).start()
+        try:
+            f1 = batcher.submit(_req(dur=10.0))
+            f2 = batcher.submit(_req(dur=60.0))
+            f1.result(timeout=5), f2.result(timeout=5)
+        finally:
+            batcher.stop()
+        assert len(calls) == 2
+
+    def test_merge_key_separates_semantic_knobs(self):
+        """Different infer_steps / guidance must NOT merge (they change the
+        compiled schedule / guidance math merge_requests copies from reqs[0])."""
+        import dataclasses
+
+        a = _req(dur=10.0)
+        b = dataclasses.replace(_req(dur=10.0), infer_steps=20)
+        c = dataclasses.replace(_req(dur=10.0), guidance_scale=3.0)
+        from acestep_tpu.serving.batcher import _merge_key
+
+        assert _merge_key(a) != _merge_key(b)
+        assert _merge_key(a) != _merge_key(c)
+        with pytest.raises(AssertionError):
+            merge_requests([a, b])
+
+    def test_engine_backed_cross_bucket(self):
+        """Two different frame buckets through the REAL tiny engine in one
+        merged batch: per-item audio lengths stay exact."""
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_pipeline import TINY_DIT, TINY_VAE, TINY_TEXT
+        import acestep_tpu.models.dit as dit_mod
+        import acestep_tpu.models.vae as vae_mod
+        import acestep_tpu.models.qwen as qwen_mod
+        from acestep_tpu.pipeline import AceStepEngine, GenerationRequest
+
+        k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+        engine = AceStepEngine(
+            dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+            vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+            qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+        )
+        batcher = ContinuousBatcher(engine.generate, max_batch=4,
+                                    max_wait_s=0.5, pad_ratio=2.5)
+        batcher.start()
+        try:
+            rng = np.random.default_rng(0)
+            style = rng.integers(0, 256, (1, 6))
+            f1 = batcher.submit(GenerationRequest(
+                duration_s=10.0, style_token_ids=style, seeds=[1]))
+            f2 = batcher.submit(GenerationRequest(
+                duration_s=20.0, style_token_ids=style, seeds=[2]))
+            r1 = f1.result(timeout=300)
+            r2 = f2.result(timeout=300)
+        finally:
+            batcher.stop()
+        assert max(batcher.stats["merged_sizes"]) == 2
+        hop = TINY_VAE.hop_length
+        assert r1.audio_lengths[0] == int(round(10.0 * 25)) * hop
+        assert r2.audio_lengths[0] == int(round(20.0 * 25)) * hop
+        assert np.isfinite(r1.audio).all() and np.isfinite(r2.audio).all()
