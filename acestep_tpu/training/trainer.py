@@ -86,7 +86,10 @@ class Trainer:
 
         path = os.path.abspath(self._ckpt_dir(self.step))
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, {"trainable": self.trainable, "opt_state": self.opt_state})
+            # force=True: resume-at-step-N followed by save_checkpoint() must
+            # be idempotent (a killed run re-saves its last step on restart)
+            ckptr.save(path, {"trainable": self.trainable, "opt_state": self.opt_state},
+                       force=True)
         with open(path + ".meta.json", "w") as f:
             json.dump({"step": self.step, "history": self.history[-100:]}, f)
         return path

@@ -60,7 +60,13 @@ res = engine.generate(
 )
 audio = res.audio[0]
 assert np.isfinite(audio).all(), "non-finite audio"
-print(f"OK: generated {audio.shape[-1]} samples, peak {abs(audio).max():.3f}")
+n = res.audio_lengths[0]
+# engine contract: valid samples = clamp(duration_s, MIN..MAX) * 25 Hz * hop(32)
+from acestep_tpu.pipeline import MIN_DURATION_S
+expect = int(round(max(2.0, MIN_DURATION_S) * 25)) * 32
+assert n == expect, f"output length {n} != {expect}"
+print(f"OK: generated {n} valid samples ({audio.shape[0]} padded), "
+      f"peak {abs(audio).max():.3f}")
 EOF
 
 echo "quick_test: ALL OK"

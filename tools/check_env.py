@@ -38,7 +38,11 @@ def collect() -> dict:
     info["hbm_bytes"] = detect_hbm_bytes()
     info["hbm_gib"] = round(info["hbm_bytes"] / 2**30, 1)
     tier = tier_for(info["devices"])
-    info["topology_tier"] = getattr(tier, "name", str(tier))
+    info["topology_tier"] = {
+        "label": f"dp{tier.dp}xtp{tier.tp}",
+        "dp": tier.dp, "tp": tier.tp,
+        "max_batch": tier.max_batch, "max_duration_s": tier.max_duration_s,
+    }
 
     # native threaded quantizer (C++): optional fast path for conversion
     try:
