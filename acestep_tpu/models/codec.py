@@ -92,6 +92,121 @@ def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32,
     }
 
 
+# ---------------------------------------------------------------------------
+# checkpoint loading (converter probe / arch-override path)
+# ---------------------------------------------------------------------------
+#
+# The real checkpoint keeps tokenizer/detokenizer in remote code
+# (handler.py:906-939 `model.tokenizer.quantizer` / `model.detokenizer`), so
+# its exact tensor names are only observable from a concrete checkpoint.  The
+# converter (tools/convert_checkpoint.py) probes the DiT safetensors for the
+# codec families below, and loads weights through this spec — either under the
+# canonical names, or renamed via a `codec.name_map` override block in the
+# checkpoint dir's config.json.  Anything else fails LOUDLY with a name diff
+# (no silent random weights).
+
+# (param_path, canonical checkpoint name stem, torch layout kind)
+#   conv    : Conv1d          [out, in, k] -> [k, in, out]
+#   conv_t  : ConvTranspose1d [in, out, k] -> reversed [k, in, out]
+CODEC_TENSOR_SPEC = (
+    ("proj_in", "detokenizer.proj_in", "conv"),
+    ("up", "detokenizer.up", "conv_t"),
+    ("res1", "detokenizer.res1", "conv"),
+    ("res2", "detokenizer.res2", "conv"),
+    ("proj_out", "detokenizer.proj_out", "conv"),
+    ("down", "tokenizer.down", "conv"),
+    ("tok_out", "tokenizer.out", "conv"),
+)
+
+# safetensors name prefixes that mark codec-family tensors in a checkpoint
+CODEC_NAME_MARKERS = ("tokenizer.", "detokenizer.", "model.tokenizer.",
+                      "model.detokenizer.")
+
+
+class CodecMismatchError(RuntimeError):
+    """Checkpoint carries codec tensors the spec cannot map — report the diff."""
+
+    def __init__(self, missing, found, shape_errors):
+        self.missing, self.found, self.shape_errors = missing, found, shape_errors
+        lines = ["codec tensors present in checkpoint but not loadable:"]
+        if missing:
+            lines.append("  expected (missing): " + ", ".join(sorted(missing)))
+        if found:
+            lines.append("  found in checkpoint: " + ", ".join(sorted(found)[:40]))
+        if shape_errors:
+            lines += [f"  shape mismatch: {e}" for e in shape_errors]
+        lines.append("  fix: add a codec.name_map override block to the "
+                     "checkpoint's config.json mapping these names onto the "
+                     "spec stems (models/codec.py CODEC_TENSOR_SPEC), or pass "
+                     "--allow-random-codec to keep the structural bridge.")
+        super().__init__("\n".join(lines))
+
+
+def probe_tensor_names(names) -> list:
+    """Subset of checkpoint tensor names that belong to the codec families
+    (tokenizer/detokenizer/quantizer — handler.py:906-939 attribute naming)."""
+    out = []
+    for n in names:
+        if n.startswith(CODEC_NAME_MARKERS) or ".quantizer." in n or \
+                n.startswith("quantizer."):
+            out.append(n)
+    return sorted(out)
+
+
+def load_from_checkpoint(st, name_map: Optional[Dict[str, str]] = None,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Build the codec param tree from a checkpoint's tensors.
+
+    ``st`` is a SafetensorsFile-like object with .keys() and .tensor(name).
+    ``name_map`` (the config.json `codec.name_map` override) maps spec stems
+    (e.g. "detokenizer.up") to the checkpoint's actual name stems; ".weight" /
+    ".bias" suffixes are appended per tensor.  Raises CodecMismatchError when
+    codec tensors exist but the mapping is incomplete or shapes are invalid.
+    """
+    names = set(st.keys())
+    present = probe_tensor_names(names)
+    name_map = dict(name_map or {})
+
+    missing, shape_errors = [], []
+    params: Dict[str, Any] = {}
+    for path, stem, kind in CODEC_TENSOR_SPEC:
+        src = name_map.get(stem, stem)
+        # tolerate a "model." prefix (remote-code modules hang off the model)
+        cand = [src, "model." + src]
+        w_name = next((c + ".weight" for c in cand if c + ".weight" in names), None)
+        if w_name is None:
+            missing.append(stem + ".weight")
+            continue
+        w = np.asarray(st.tensor(w_name, as_f32=True), np.float32)
+        if w.ndim != 3:
+            shape_errors.append(f"{w_name}: expected 3-d conv weight, got {w.shape}")
+            continue
+        if kind == "conv_t":
+            w = w.transpose(2, 0, 1)[::-1].copy()     # [in,out,k] -> rev [k,in,out]
+        else:
+            w = w.transpose(2, 1, 0).copy()           # [out,in,k] -> [k,in,out]
+        b_name = next((c + ".bias" for c in cand if c + ".bias" in names), None)
+        b = (np.asarray(st.tensor(b_name, as_f32=True), np.float32) if b_name
+             else np.zeros((w.shape[2] if kind != "conv_t" else w.shape[2],), np.float32))
+        params[path] = {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)}
+
+    if missing or shape_errors:
+        raise CodecMismatchError(missing, present, shape_errors)
+
+    # cross-tensor sanity: FSQ dim in, latent dim out, x5 upsample kernel
+    d = len(FSQ_LEVELS)
+    if params["proj_in"]["w"].shape[1] != d:
+        raise CodecMismatchError(
+            [], present,
+            [f"proj_in in-dim {params['proj_in']['w'].shape[1]} != FSQ dim {d}"])
+    if params["up"]["w"].shape[0] % CODES_PER_LATENT != 0:
+        raise CodecMismatchError(
+            [], present,
+            [f"up kernel {params['up']['w'].shape[0]} not a multiple of "
+             f"x{CODES_PER_LATENT} upsample stride"])
+    return params
+
+
 def detokenize(params: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
     """[B, T5] code indices -> [B, T5*5, 64] latents (handler.py:906-939 path)."""
     v = indices_to_values(code_indices)                  # [B, T5, 6]

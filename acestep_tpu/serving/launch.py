@@ -82,6 +82,22 @@ def build_lm(checkpoint: Optional[str]):
                       TokenizerJsonAdapter(tok_path))
 
 
+def build_codec(checkpoint: Optional[str]):
+    """Codec bridge params from a converted checkpoint's codec/ component
+    (tools/convert_checkpoint.py probe path).  Falls back to the structural
+    random-weight bridge when the checkpoint carries none — LM code hints then
+    stay OFF unless explicitly enabled, matching a reference install whose
+    remote code is absent."""
+    if not checkpoint:
+        return None
+    from acestep_tpu import loader
+
+    codec_dir = os.path.join(checkpoint, "codec")
+    if not os.path.exists(codec_dir + ".safetensors"):
+        return None
+    return loader.load_params(codec_dir)
+
+
 def make_generate_fn(engine, tokenizer=None):
     """payload dict -> result dict (audio base64 + metadata + timings)."""
     import numpy as np
@@ -250,8 +266,9 @@ def main(argv=None):
           file=sys.stderr)
     engine, dit_base_params = build_engine(args.checkpoint, args.quant)
     lm = build_lm(args.checkpoint)
-    generate = (make_full_generate_fn(engine, lm) if lm is not None
-                else make_generate_fn(engine))
+    generate = (make_full_generate_fn(engine, lm,
+                                      codec_params=build_codec(args.checkpoint))
+                if lm is not None else make_generate_fn(engine))
 
     if args.mode == "api":
         from acestep_tpu.serving.api_server import ApiServer

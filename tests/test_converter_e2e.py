@@ -197,6 +197,136 @@ def make_qwen_checkpoint(rng, d):
         json.dump(TEXT_CFG, f)
 
 
+CODEC_HIDDEN, CODEC_LD = 8, 8
+
+
+def _codec_tensors(rng, up_stem="detokenizer.up"):
+    """Codec-family tensors in the reference's torch layouts (conv [out,in,k],
+    convT [in,out,k]) under the canonical handler.py:906-939 name stems."""
+    h, ld = CODEC_HIDDEN, CODEC_LD
+    t = {
+        "detokenizer.proj_in.weight": _rng_t(rng, h, 6, 1),
+        "detokenizer.proj_in.bias": np.zeros(h, np.float32),
+        up_stem + ".weight": _rng_t(rng, h, h, 15),       # convT [in, out, k=3*5]
+        up_stem + ".bias": np.zeros(h, np.float32),
+        "detokenizer.res1.weight": _rng_t(rng, h, h, 3),
+        "detokenizer.res1.bias": np.zeros(h, np.float32),
+        "detokenizer.res2.weight": _rng_t(rng, h, h, 3),
+        "detokenizer.res2.bias": np.zeros(h, np.float32),
+        "detokenizer.proj_out.weight": _rng_t(rng, ld, h, 1),
+        "detokenizer.proj_out.bias": np.zeros(ld, np.float32),
+        "tokenizer.down.weight": _rng_t(rng, h, ld, 15),
+        "tokenizer.down.bias": np.zeros(h, np.float32),
+        "tokenizer.out.weight": _rng_t(rng, 6, h, 1),
+        "tokenizer.out.bias": np.zeros(6, np.float32),
+    }
+    return t
+
+
+def _run_converter(repo, argv):
+    return subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "convert_checkpoint.py")]
+        + argv,
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
+def test_converter_codec_probe_and_load(tmp_path):
+    """DiT checkpoint carrying canonical codec tensors -> converted codec
+    component loads, layouts transposed to [k, in, out], detokenize runs."""
+    rng = np.random.default_rng(1)
+    dit_dir, out_dir = str(tmp_path / "dit"), str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+    # append codec tensors to the same safetensors file (remote-code modules
+    # live inside the DiT checkpoint in the reference)
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+    st = SafetensorsFile(os.path.join(dit_dir, "model.safetensors"))
+    t = {n: st.tensor(n) for n in st.keys()}
+    t.update(_codec_tensors(rng))
+    save_safetensors(os.path.join(dit_dir, "model.safetensors"), t)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(open(os.path.join(out_dir, "manifest.json")).read())
+    assert manifest["components"]["codec"]["tensors"] == 14
+    assert len(manifest["codec_probe"]) == 14
+
+    from acestep_tpu import loader
+    from acestep_tpu.models import codec as codec_mod
+
+    p = loader.load_params(os.path.join(out_dir, "codec"))
+    assert p["proj_in"]["w"].shape == (1, 6, CODEC_HIDDEN)
+    assert p["up"]["w"].shape == (15, CODEC_HIDDEN, CODEC_HIDDEN)
+    assert p["proj_out"]["w"].shape == (1, CODEC_HIDDEN, CODEC_LD)
+    lat = codec_mod.detokenize(p, np.zeros((1, 10), np.int32))
+    assert lat.shape == (1, 50, CODEC_LD)
+    assert np.isfinite(np.asarray(lat)).all()
+    # round-trip direction exists too
+    codes = codec_mod.tokenize(p, np.asarray(lat))
+    assert codes.shape == (1, 10)
+
+
+def test_converter_codec_mismatch_fails_loudly(tmp_path):
+    """Unmappable codec tensors abort the conversion with a name diff; the
+    --allow-random-codec escape hatch records the mismatch in the manifest."""
+    rng = np.random.default_rng(2)
+    dit_dir, out_dir = str(tmp_path / "dit"), str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+    st = SafetensorsFile(os.path.join(dit_dir, "model.safetensors"))
+    t = {n: st.tensor(n) for n in st.keys()}
+    # codec-family names the spec does NOT know (renamed upsampler)
+    t["model.tokenizer.quantizer.project_in.weight"] = _rng_t(rng, 6, 6)
+    t["detokenizer.upsampler.weight"] = _rng_t(rng, 8, 8, 15)
+    save_safetensors(os.path.join(dit_dir, "model.safetensors"), t)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0"])
+    assert proc.returncode != 0
+    assert "detokenizer.proj_in.weight" in proc.stderr   # missing-name diff
+    assert "codec.name_map" in proc.stderr               # actionable fix
+
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0", "--allow-random-codec"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    manifest = json.loads(open(os.path.join(out_dir, "manifest.json")).read())
+    assert manifest["components"]["codec"]["status"] == "random"
+    assert "mismatch" in manifest["components"]["codec"]
+
+
+def test_converter_codec_name_map_override(tmp_path):
+    """A codec.name_map block in the checkpoint's config.json maps renamed
+    stems onto the spec (the arch-override path for real checkpoints)."""
+    rng = np.random.default_rng(3)
+    dit_dir, out_dir = str(tmp_path / "dit"), str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+    st = SafetensorsFile(os.path.join(dit_dir, "model.safetensors"))
+    t = {n: st.tensor(n) for n in st.keys()}
+    t.update(_codec_tensors(rng, up_stem="detokenizer.upsampler"))
+    save_safetensors(os.path.join(dit_dir, "model.safetensors"), t)
+    cfg = json.loads(open(os.path.join(dit_dir, "config.json")).read())
+    cfg["codec"] = {"name_map": {"detokenizer.up": "detokenizer.upsampler"}}
+    with open(os.path.join(dit_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    codec_cfg = json.loads(
+        open(os.path.join(out_dir, "codec.config.json")).read())
+    assert codec_cfg["name_map"] == {"detokenizer.up": "detokenizer.upsampler"}
+
+    from acestep_tpu import loader
+    p = loader.load_params(os.path.join(out_dir, "codec"))
+    assert p["up"]["w"].shape == (15, CODEC_HIDDEN, CODEC_HIDDEN)
+
+
 def test_converter_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     dit_dir, vae_dir, text_dir = (str(tmp_path / n) for n in ("dit", "vae", "text"))

@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k", "q6_k"])
     ap.add_argument("--lm-quant", default=None, help="override quant for the LM")
+    ap.add_argument("--allow-random-codec", action="store_true",
+                    help="when the DiT checkpoint carries codec tensors that "
+                         "cannot be mapped, keep the structural random-weight "
+                         "bridge instead of failing (records the name diff in "
+                         "the manifest)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +91,48 @@ def main():
     if args.dit:
         cfg = _load_cfg(args.dit, DiTConfig)
         convert("dit", args.dit, lambda st, c: loader.load_dit(st, c, quant=quant), cfg)
+
+        # codec bridge (tokenizer/quantizer/detokenizer — the reference keeps
+        # these in the DiT checkpoint's remote code, handler.py:906-939).
+        # Probe the safetensors for codec-family tensors; if any exist they
+        # MUST load through the spec (optionally renamed via a codec.name_map
+        # block in config.json) — never silently fall back to random weights.
+        from acestep_tpu.models import codec as codec_mod
+
+        st = SafetensorsFile(_find_st(args.dit))
+        probe = codec_mod.probe_tensor_names(st.keys())
+        manifest["codec_probe"] = [
+            {"name": n, "shape": list(st.info(n)[1])} for n in probe]
+        override = {}
+        cfg_p = (os.path.join(args.dit, "config.json")
+                 if os.path.isdir(args.dit) else None)
+        if cfg_p and os.path.exists(cfg_p):
+            with open(cfg_p) as f:
+                override = json.load(f).get("codec", {})
+        if probe:
+            try:
+                codec_params = codec_mod.load_from_checkpoint(
+                    st, name_map=override.get("name_map"))
+            except codec_mod.CodecMismatchError as e:
+                if not args.allow_random_codec:
+                    print(f"codec: FAILED\n{e}", file=sys.stderr)
+                    sys.exit(1)
+                manifest["components"]["codec"] = {
+                    "status": "random", "mismatch": str(e)}
+                print(f"codec: unmapped, keeping structural bridge "
+                      f"(--allow-random-codec)\n{e}", file=sys.stderr)
+            else:
+                loader.save_params(os.path.join(args.out, "codec"),
+                                   codec_params,
+                                   {"component": "codec", "quant": "f32"})
+                with open(os.path.join(args.out, "codec.config.json"), "w") as f:
+                    json.dump({"source_names": probe,
+                               "name_map": override.get("name_map", {})}, f,
+                              indent=1)
+                manifest["components"]["codec"] = {
+                    "source": args.dit, "tensors": len(probe)}
+                print(f"codec: loaded {len(probe)} checkpoint tensors",
+                      file=sys.stderr)
     if args.vae:
         cfg = _load_cfg(args.vae, VAEConfig)
         convert("vae", args.vae, lambda st, c: loader.load_vae(st, c), cfg)
