@@ -94,6 +94,7 @@ class LoRARuntime:
         """Re-merge all active adapters onto the pristine base, then restack
         (and reshard under a mesh) for the engine."""
         from acestep_tpu.models import dit
+        from acestep_tpu.ops.qlinear import precast_quant_scales
         from acestep_tpu.training.lora import apply_lora, scale_lora
 
         params = self._base
@@ -108,4 +109,13 @@ class LoRARuntime:
             from acestep_tpu.parallel.sharding import shard_params
 
             stacked = shard_params(stacked, self.engine.mesh)
-        self.engine.dit_params = stacked
+        else:
+            import os
+
+            # same single-device layout the engine built at init (fused
+            # qkv/gate-up) so LoRA toggles don't change the jit param structure
+            if os.environ.get("ACESTEP_TPU_DIT_FUSE", "1") != "0":
+                stacked = dit.fuse_params(stacked)
+        # engine init precasts too (pipeline.py __init__); matching here keeps
+        # the jit param structure identical across adapter swaps
+        self.engine.dit_params = precast_quant_scales(stacked)

@@ -208,9 +208,17 @@ def _self_attention(
     dist.all_reduce in RowParallelLinear (nano-vllm linear.py:152)."""
     b, l, _ = x.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
-    q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
-    k = linear(x, p["k_proj"]["kernel"]).reshape(b, l, nkv, hd)
-    v = linear(x, p["v_proj"]["kernel"]).reshape(b, l, nkv, hd)
+    if "qkv_proj" in p:
+        # serving-fused q||k||v: one weight stream + one kernel launch
+        # (see fuse_params; exact column-for-column)
+        qkv = linear(x, p["qkv_proj"]["kernel"])
+        q = qkv[..., : nh * hd].reshape(b, l, nh, hd)
+        k = qkv[..., nh * hd: (nh + nkv) * hd].reshape(b, l, nkv, hd)
+        v = qkv[..., (nh + nkv) * hd:].reshape(b, l, nkv, hd)
+    else:
+        q = linear(x, p["q_proj"]["kernel"]).reshape(b, l, nh, hd)
+        k = linear(x, p["k_proj"]["kernel"]).reshape(b, l, nkv, hd)
+        v = linear(x, p["v_proj"]["kernel"]).reshape(b, l, nkv, hd)
     q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
@@ -311,8 +319,14 @@ def _cross_attention(
 
 
 def _mlp(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
-    gate = linear(x, p["gate_proj"]["kernel"])
-    up = linear(x, p["up_proj"]["kernel"])
+    if "gateup_proj" in p:
+        # serving-fused gate||up (see fuse_params)
+        gu = linear(x, p["gateup_proj"]["kernel"])
+        inter = gu.shape[-1] // 2
+        gate, up = gu[..., :inter], gu[..., inter:]
+    else:
+        gate = linear(x, p["gate_proj"]["kernel"])
+        up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     out = linear(act, p["down_proj"]["kernel"])
     if axis_name is not None:
@@ -384,6 +398,40 @@ def stack_params(params: Params) -> Params:
         if isinstance(v, list) and v:
             params[key] = stack_layer_params(v)
     return params
+
+
+def fuse_params(params: Params) -> Params:
+    """Fuse the decoder's self-attn q||k||v and mlp gate||up into single
+    stacked weights: one weight stream + one kernel launch instead of
+    three/two (concat along N — exact column-for-column for every quant
+    format, ops/qlinear.concat_weights_n).
+
+    The 10 s Euler step is launch-bound, not bandwidth-bound (9 qmm kernels x
+    24 layers per step); fusing drops that to 6/layer.  Single-device layout
+    only — the TP path keeps per-projection weights (plain column sharding of
+    a fused kernel would split q/k/v across ranks; cf. parallel/lm_tp.py
+    rank-major fusion).  Idempotent; list-mode (unstacked) params pass
+    through.  Mirrors serving/lm.py fuse_serving_params."""
+    layers = params.get("layers")
+    if not isinstance(layers, dict) or "self_attn" not in layers:
+        return params
+    sa, mlp = layers["self_attn"], layers["mlp"]
+    if "qkv_proj" in sa or "gateup_proj" in mlp:
+        return params
+    from acestep_tpu.ops.qlinear import concat_weights_n
+
+    sa = dict(sa)
+    sa["qkv_proj"] = {"kernel": concat_weights_n(
+        [sa.pop("q_proj")["kernel"], sa.pop("k_proj")["kernel"],
+         sa.pop("v_proj")["kernel"]])}
+    mlp = dict(mlp)
+    mlp["gateup_proj"] = {"kernel": concat_weights_n(
+        [mlp.pop("gate_proj")["kernel"], mlp.pop("up_proj")["kernel"]])}
+    new_layers = dict(layers)
+    new_layers["self_attn"], new_layers["mlp"] = sa, mlp
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
 
 
 def _layers_as_list(layers) -> Optional[List[Params]]:

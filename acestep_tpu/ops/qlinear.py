@@ -143,6 +143,30 @@ def weight_shape(w: Weight) -> tuple:
     return tuple(w.shape)
 
 
+def concat_weights_n(ws):
+    """Concatenate kernel weights along the output (N) axis.
+
+    QuantTensor-aware: every quant format packs along K, so all fields concat
+    cleanly along the last axis — the fused matmul is numerically EXACT
+    column-for-column.  Used to fuse q||k||v and gate||up into single weight
+    streams (serving/lm.py decode scan, models/dit.py layer scan)."""
+    import dataclasses
+
+    if isinstance(ws[0], QuantTensor):
+        def cat(field):
+            vals = [getattr(w, field) for w in ws]
+            return None if vals[0] is None else jnp.concatenate(vals, axis=-1)
+
+        return dataclasses.replace(
+            ws[0],
+            shape=(ws[0].shape[0], sum(w.shape[1] for w in ws)),
+            data=cat("data"), data_hi=cat("data_hi"), scales=cat("scales"),
+            sub_scales=cat("sub_scales"), sub_mins=cat("sub_mins"),
+            super_scales=cat("super_scales"), super_mins=cat("super_mins"),
+        )
+    return jnp.concatenate(ws, axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # stacked-layer scan support: keep the big quantized kernels OUT of scan xs
 # (a scan materializes an HBM copy of each per-layer weight slice it feeds to

@@ -287,10 +287,15 @@ class AceStepEngine:
         mesh=None,                                     # jax.sharding.Mesh (dp, tp)
     ):
         # stacked layer layout -> scan-over-layers (one compiled layer body);
+        # fused qkv / gate-up weights on the single-device layout (the TP path
+        # column-shards per-projection weights — dit.fuse_params docstring);
         # f32-precast scales make the kernels' scale converts init-time no-ops
         from acestep_tpu.ops.qlinear import precast_quant_scales
 
-        self.dit_params = precast_quant_scales(dit.stack_params(dit_params))
+        self.dit_params = dit.stack_params(dit_params)
+        if mesh is None and os.environ.get("ACESTEP_TPU_DIT_FUSE", "1") != "0":
+            self.dit_params = dit.fuse_params(self.dit_params)
+        self.dit_params = precast_quant_scales(self.dit_params)
         self.dit_cfg = dit_cfg
         self.vae_params = vae_params
         self.vae_cfg = vae_cfg

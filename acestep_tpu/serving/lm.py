@@ -203,25 +203,7 @@ def _qkv_proj(p, xn, b: int, t: int, nh: int, nkv: int, hd: int):
             v.reshape(b, t, nkv, hd))
 
 
-def _concat_kernels(ws):
-    """Concatenate kernel weights along the output axis (QuantTensor-aware:
-    every quant format packs along K, so all fields concat cleanly along N —
-    and the fused matmul is numerically EXACT column-for-column)."""
-    from acestep_tpu.quant import QuantTensor as _QT
-
-    if isinstance(ws[0], _QT):
-        def cat(field):
-            vals = [getattr(w, field) for w in ws]
-            return None if vals[0] is None else jnp.concatenate(vals, axis=-1)
-
-        return dataclasses.replace(
-            ws[0],
-            shape=(ws[0].shape[0], sum(w.shape[1] for w in ws)),
-            data=cat("data"), data_hi=cat("data_hi"), scales=cat("scales"),
-            sub_scales=cat("sub_scales"), sub_mins=cat("sub_mins"),
-            super_scales=cat("super_scales"), super_mins=cat("super_mins"),
-        )
-    return jnp.concatenate(ws, axis=-1)
+from acestep_tpu.ops.qlinear import concat_weights_n as _concat_kernels
 
 
 def fuse_serving_params(params: Dict[str, Any]) -> Dict[str, Any]:

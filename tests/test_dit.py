@@ -62,6 +62,30 @@ def test_cross_kv_cache_exact_match(setup):
     np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
 
 
+@pytest.mark.parametrize("quant", [None, "q8_0"])
+def test_fused_qkv_gateup_parity(setup, quant):
+    """fuse_params (serving-fused q||k||v / gate||up weights) must match the
+    unfused stacked forward: the N-axis concat is exact column-for-column."""
+    params = setup
+    if quant:
+        from acestep_tpu.quant import quantize_tree_jax
+
+        params = quantize_tree_jax(params, quant)
+    hs, ctx, enc, t = _inputs()
+    stacked = dit.stack_params(params)
+    fused = dit.fuse_params(stacked)
+    assert "qkv_proj" in fused["layers"]["self_attn"]
+    assert "gateup_proj" in fused["layers"]["mlp"]
+    assert "q_proj" not in fused["layers"]["self_attn"]
+    # idempotent
+    assert dit.fuse_params(fused) is fused
+
+    base = dit.forward(stacked, TINY, hs, t, t, enc, ctx)
+    out = dit.forward(fused, TINY, hs, t, t, enc, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               rtol=0, atol=1e-5)
+
+
 def test_timestep_r_changes_output(setup):
     params = setup
     hs, ctx, enc, t = _inputs()
