@@ -261,6 +261,14 @@ def _fence(x: jax.Array) -> None:
     — phase costs then become enqueue times; the total stays exact."""
     if os.environ.get("ACESTEP_TPU_PHASE_FENCES", "1") == "0":
         return
+    shards = getattr(x, "addressable_shards", None)
+    if shards is not None and len(shards) > 1:
+        # sharded array: a [0:1] readback only fences the shard owning element
+        # 0; touch one element of EVERY addressable shard so per-phase timings
+        # cover all devices
+        for s in shards:
+            np.asarray(jax.device_get(s.data.ravel()[0:1]))
+        return
     np.asarray(jax.device_get(x.ravel()[0:1]))
 
 
