@@ -799,6 +799,25 @@ class AceStepEngine:
         )
 
 
+    def encode_src_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Raw source waveform [L, C] -> src latents [1, T, 64] for the
+        repaint/cover/extract/lego/complete tasks (handler.py:2102-2208 builds
+        context from the full-length source; unlike the 750-frame timbre
+        window this keeps every frame)."""
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[:, None]
+        if audio.shape[1] == 1:
+            audio = np.repeat(audio, self.vae_cfg.audio_channels, axis=1)
+        hop = self.vae_cfg.hop_length
+        t_frames = max(1, audio.shape[0] // hop)
+        lat = vae.tiled_encode(
+            self.vae_params, self.vae_cfg,
+            jnp.asarray(audio[None, : t_frames * hop, :]),
+            chunk_frames=128, overlap_frames=32,
+        )
+        return np.asarray(lat, np.float32)
+
     def encode_refer_audio(
         self, audios: Sequence[np.ndarray], max_frames: Optional[int] = None
     ) -> np.ndarray:

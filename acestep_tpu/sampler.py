@@ -199,8 +199,9 @@ def sample_latents(
 # Same math as sample_latents, but the compile unit is ONE DiT forward instead
 # of scan(8 steps){...}: ~4x smaller XLA graph.  On backends with slow remote
 # compilation (the dev tunnel) this is the difference between minutes and tens
-# of minutes of cold compile; per-step dispatch overhead (~ms) is negligible
-# against 100ms+ steps.  Select with ACESTEP_TPU_SAMPLER=scan|step.
+# of minutes of cold compile.  Per-step dispatch costs ~0.5 ms, which at fast
+# shapes (10 s clip: 8 ms/step) is significant -- scan is the default; select
+# step via ACESTEP_TPU_SAMPLER=step for cold-cache first runs.
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_attn_mask"))
@@ -281,11 +282,19 @@ def sample_latents_stepwise(
 
 
 def sample(params, cfg, *args, **kwargs):
-    """Dispatch on ACESTEP_TPU_SAMPLER (step | scan); default step."""
+    """Dispatch on ACESTEP_TPU_SAMPLER (scan | step); default scan.
+
+    scan is ONE device dispatch for the whole Euler loop; step is one dispatch
+    per step.  On the remote-tunnel backend per-step dispatch costs ~0.5 ms,
+    which at configs[0] shapes is ~4 ms/step of pure overhead (measured
+    12.3 ms/step stepwise vs 8.1 scan, tools/bench_dit_step.py).  step remains
+    as the cold-compile escape hatch: its compile unit is a single DiT forward
+    (~4x smaller XLA graph), useful on first-ever runs with an empty
+    .jax_cache."""
     import os
 
-    mode = os.environ.get("ACESTEP_TPU_SAMPLER", "step")
-    fn = sample_latents if mode == "scan" else sample_latents_stepwise
+    mode = os.environ.get("ACESTEP_TPU_SAMPLER", "scan")
+    fn = sample_latents_stepwise if mode == "step" else sample_latents
     return fn(params, cfg, *args, **kwargs)
 
 

@@ -274,6 +274,7 @@ class ApiServer:
         lora_runtime: Optional[Any] = None,
         training_manager: Optional[Any] = None,
         batcher: Optional[Any] = None,
+        dataset_manager: Optional[Any] = None,
     ):
         # /v1/audio downloads are restricted to this directory (path-traversal
         # guard, api_server.py:898-930 _validate_audio_path)
@@ -285,6 +286,7 @@ class ApiServer:
         self.api_key = api_key if api_key is not None else os.environ.get("ACESTEP_TPU_API_KEY")
         self.lora_runtime = lora_runtime
         self.training_manager = training_manager
+        self.dataset_manager = dataset_manager
         # optional ContinuousBatcher whose merge-rate stats ride /v1/stats
         # (the worker itself stays serial; deployments that want merged
         # batches point generate_fn at batcher.submit(...).result())
@@ -445,6 +447,10 @@ class ApiServer:
                     if server.training_manager is None:
                         return self._send(501, {"error": "training not attached"})
                     return self._send(200, server.training_manager.status())
+                if self.path == "/v1/dataset/status":
+                    if server.dataset_manager is None:
+                        return self._send(501, {"error": "dataset builder not attached"})
+                    return self._send(200, server.dataset_manager.status())
                 return self._send(404, {"error": "not found"})
 
             def do_POST(self):
@@ -523,6 +529,18 @@ class ApiServer:
                     if server.training_manager is None:
                         return self._send(501, {"error": "training not attached"})
                     return self._send(200, server.training_manager.stop())
+                if self.path == "/v1/dataset/scan":
+                    if server.dataset_manager is None:
+                        return self._send(501, {"error": "dataset builder not attached"})
+                    try:
+                        return self._send(200, server.dataset_manager.scan(body))
+                    except FileNotFoundError as e:
+                        return self._send(400, {"error": f"no such directory: {e}"})
+                if self.path == "/v1/dataset/build":
+                    if server.dataset_manager is None:
+                        return self._send(501, {"error": "dataset builder not attached"})
+                    out = server.dataset_manager.start_build(body)
+                    return self._send(409 if "error" in out else 200, out)
                 return self._send(404, {"error": "not found"})
 
         return Handler

@@ -98,6 +98,58 @@ def build_codec(checkpoint: Optional[str]):
     return loader.load_params(codec_dir)
 
 
+def _decode_audio_payload(b64: str, fmt: str = ""):
+    """base64 (or data-URL) audio -> [L, C] float32.  WAV and FLAC decode
+    natively (utils.audio / utils.flac); the format is sniffed from magic
+    bytes when not given."""
+    import numpy as np
+
+    if b64.startswith("data:"):
+        b64 = b64.split(",", 1)[1]
+    data = base64.b64decode(b64)
+    fmt = (fmt or "").lower()
+    if not fmt:
+        fmt = "flac" if data[:4] == b"fLaC" else "wav"
+    if fmt == "flac":
+        from acestep_tpu.utils.flac import decode_flac
+
+        audio, _sr = decode_flac(data)
+        return np.asarray(audio, np.float32)
+    from acestep_tpu.utils.audio import read_wav_bytes
+
+    audio, _sr = read_wav_bytes(data)
+    return audio
+
+
+def _parse_audio_inputs(p, payload, engine, req_kwargs: Dict[str, Any]) -> None:
+    """Fill src_latents / refer_latents / repaint span from upload fields
+    (reference gradio events/generate.py: audio upload -> src audio for
+    repaint/cover/extract, reference audio -> timbre)."""
+    import numpy as np
+
+    src_b64 = p.str("src_audio_base64") or p.str("source_audio_base64")
+    if src_b64:
+        audio = _decode_audio_payload(src_b64, p.str("src_audio_format"))
+        req_kwargs["src_latents"] = engine.encode_src_audio(audio)
+        # default the duration to the source length for src-conditioned tasks
+        if not payload.get("duration") and not payload.get("audioDuration"):
+            hop = engine.vae_cfg.hop_length
+            rate = engine.vae_cfg.sampling_rate
+            req_kwargs["duration_s"] = audio.shape[0] // hop * hop / rate
+    ref_b64 = p.str("refer_audio_base64") or p.str("reference_audio_base64")
+    if ref_b64:
+        audio = _decode_audio_payload(ref_b64, p.str("refer_audio_format"))
+        req_kwargs["refer_latents"] = engine.encode_refer_audio([audio])
+        req_kwargs["refer_mask"] = np.ones(
+            req_kwargs["refer_latents"].shape[:2], np.int32)
+    if payload.get("repaint_start") is not None:
+        req_kwargs["repaint_start_s"] = p.float("repaint_start", 0.0)
+    if payload.get("repaint_end") is not None:
+        req_kwargs["repaint_end_s"] = p.float("repaint_end", -1.0)
+    if p.str("track_name"):
+        req_kwargs["track_name"] = p.str("track_name")
+
+
 def make_generate_fn(engine, tokenizer=None):
     """payload dict -> result dict (audio base64 + metadata + timings)."""
     import numpy as np
@@ -122,7 +174,7 @@ def make_generate_fn(engine, tokenizer=None):
         caption = p.str("caption")
         lyrics = p.str("lyrics")
         lyric_ids = tokenize(lyrics, 2048)
-        req = GenerationRequest(
+        req_kwargs: Dict[str, Any] = dict(
             duration_s=p.float("duration", 30.0),
             style_token_ids=tokenize(caption, 256),
             lyric_token_ids=lyric_ids,
@@ -136,6 +188,8 @@ def make_generate_fn(engine, tokenizer=None):
             infer_steps=p.int("inference_steps", 8),
             use_adg=p.bool("use_adg"),
         )
+        _parse_audio_inputs(p, payload, engine, req_kwargs)
+        req = GenerationRequest(**req_kwargs)
         res = engine.generate(req)
         # already peak-normalized 16-bit PCM from the device (audio_utils.py:24
         # semantics); segments pass through without host reassembly
@@ -231,6 +285,22 @@ def make_full_generate_fn(engine, lm, codec_params=None, tokenizer=None):
             style_token_ids=tokenize(caption, 256),
             lyric_token_ids=tokenize(lyrics, 2048),
         )
+        # audio uploads -> pre-encoded latents (same fields the engine-only fn
+        # takes; GenerationParams uses repaint_start/_end without the _s)
+        audio_kwargs: Dict[str, Any] = {}
+        _parse_audio_inputs(p, payload, engine, audio_kwargs)
+        if "src_latents" in audio_kwargs:
+            params.src_latents = audio_kwargs["src_latents"]
+        if "refer_latents" in audio_kwargs:
+            params.refer_latents = audio_kwargs["refer_latents"]
+        if "repaint_start_s" in audio_kwargs:
+            params.repaint_start = audio_kwargs["repaint_start_s"]
+        if "repaint_end_s" in audio_kwargs:
+            params.repaint_end = audio_kwargs["repaint_end_s"]
+        if "track_name" in audio_kwargs:
+            params.track_name = audio_kwargs["track_name"]
+        if "duration_s" in audio_kwargs and params.duration < 0:
+            params.duration = audio_kwargs["duration_s"]
         config = GenerationConfig(
             batch_size=p.int("batch_size", 1),
             seeds=[p.int("seed", 0)],
@@ -281,8 +351,13 @@ def main(argv=None):
             from acestep_tpu.lora_runtime import LoRARuntime
 
             lora_rt = LoRARuntime(engine, dit_base_params)
+        from acestep_tpu.serving.dataset_manager import DatasetManager
+
         srv = ApiServer(generate, lora_runtime=lora_rt,
-                        training_manager=TrainingManager())
+                        training_manager=TrainingManager(),
+                        dataset_manager=DatasetManager(
+                            engine, lm=lm,
+                            codec_params=build_codec(args.checkpoint)))
         port = srv.start(args.host, args.port or 8000)
         print(f"API + studio at http://{args.host}:{port}/  (POST /release_task)")
     else:

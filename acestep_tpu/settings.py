@@ -25,7 +25,7 @@ from typing import Any, Dict, Optional
 KNOBS = {
     "quant": ("ACESTEP_TPU_QUANT", str, "q8_0"),
     "lm_quant": ("ACESTEP_TPU_LM_QUANT", str, None),
-    "sampler_mode": ("ACESTEP_TPU_SAMPLER", str, "step"),          # step | scan
+    "sampler_mode": ("ACESTEP_TPU_SAMPLER", str, "scan"),          # scan | step
     "qmm_backend": ("ACESTEP_TPU_QMM_BACKEND", str, "auto"),       # auto | xla | pallas
     "int8_act": ("ACESTEP_TPU_INT8_ACT", bool, False),
     "stacked_weights": ("ACESTEP_TPU_STACKED_W", str, None),       # 0|1 forces; default per call site

@@ -75,31 +75,42 @@ def wav_bytes(audio, sample_rate: int = 48000) -> bytes:
 def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a 16-bit or float32 PCM WAV -> ([L, C] float32 in [-1, 1], sample_rate)."""
     with open(path, "rb") as f:
-        riff = f.read(12)
-        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
-            raise ValueError(f"not a WAV file: {path}")
-        fmt = None
-        data = None
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
-            chunk = f.read(size + (size & 1))[:size]
-            if cid == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", chunk[:16])
-            elif cid == b"data":
-                data = chunk
-        if fmt is None or data is None:
-            raise ValueError(f"malformed WAV: {path}")
-        audio_format, n_channels, sample_rate, _, _, bits = fmt
-        if audio_format == 1 and bits == 16:
-            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
-        elif audio_format == 3 and bits == 32:
-            x = np.frombuffer(data, dtype="<f4").astype(np.float32)
-        else:
-            raise ValueError(f"unsupported WAV format {audio_format}/{bits}bit")
-        return x.reshape(-1, n_channels), sample_rate
+        return _read_wav_stream(f, path)
+
+
+def read_wav_bytes(data: bytes) -> Tuple[np.ndarray, int]:
+    """read_wav over in-memory bytes (serving audio-upload payloads)."""
+    import io
+
+    return _read_wav_stream(io.BytesIO(data), "<bytes>")
+
+
+def _read_wav_stream(f, path: str) -> Tuple[np.ndarray, int]:
+    riff = f.read(12)
+    if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise ValueError(f"not a WAV file: {path}")
+    fmt = None
+    data = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        chunk = f.read(size + (size & 1))[:size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError(f"malformed WAV: {path}")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format {audio_format}/{bits}bit")
+    return x.reshape(-1, n_channels), sample_rate
 
 
 def peak_normalize(audio: np.ndarray, peak: float = 0.99) -> np.ndarray:

@@ -51,6 +51,36 @@ def test_generate_fn_flac_and_lrc():
     assert out["metadata"]["caption"] == "soft piano"
 
 
+def test_generate_fn_audio_uploads():
+    """src/refer audio uploads reach the engine: the server VAE-encodes the
+    upload into src_latents (repaint) / refer_latents (timbre) and the repaint
+    span + cover strength knobs ride the payload (gradio events/generate.py
+    audio-upload flow)."""
+    from acestep_tpu.utils.audio import wav_bytes
+
+    engine = _engine()
+    gen = make_generate_fn(engine, tokenizer=MiniTok())
+    sr = engine.vae_cfg.sampling_rate
+    rng = np.random.default_rng(1)
+    src = (rng.standard_normal((sr * 2, 2)) * 0.1).astype(np.float32)
+    src_b64 = base64.b64encode(wav_bytes(src, sr)).decode()
+
+    base = gen({"caption": "x", "duration": 10, "seed": 5})
+    rep = gen({"caption": "x", "duration": 10, "seed": 5,
+               "task_type": "repaint", "src_audio_base64": src_b64,
+               "repaint_start": 2.0, "repaint_end": 6.0})
+    assert rep["audio_base64"] != base["audio_base64"]     # src conditioning took
+    cov = gen({"caption": "x", "duration": 10, "seed": 5,
+               "task_type": "cover", "src_audio_base64": src_b64,
+               "refer_audio_base64": "data:audio/wav;base64," + src_b64,
+               "audio_cover_strength": 0.5})
+    assert cov["audio_base64"] not in (base["audio_base64"], rep["audio_base64"])
+    # duration defaults to the source length when unset
+    auto = gen({"caption": "x", "task_type": "repaint",
+                "src_audio_base64": src_b64, "seed": 5})
+    assert auto["audio_base64"]
+
+
 def test_generate_fn_cfg_knobs():
     gen = make_generate_fn(_engine(), tokenizer=MiniTok())
     out = gen({"caption": "x", "duration": 10, "guidance_scale": 3.0,

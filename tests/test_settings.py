@@ -34,5 +34,5 @@ def test_apply_env_roundtrip(tmp_path, monkeypatch):
     s = Settings.load(env_file=str(tmp_path / "nope.env"), int8_act=False)
     s.apply_env()
     assert os.environ["ACESTEP_TPU_INT8_ACT"] == "0"
-    assert os.environ["ACESTEP_TPU_SAMPLER"] == "step"
+    assert os.environ["ACESTEP_TPU_SAMPLER"] == "scan"
     assert "quant" in s.describe()
