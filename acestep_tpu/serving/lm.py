@@ -497,14 +497,14 @@ def _top_p_threshold(probs: jax.Array, top_p: float, iters: int = 24) -> jax.Arr
     lo = jnp.zeros_like(pmax)                     # mass(0) = 1 >= top_p
     hi = pmax * (1.0 + 1e-6) + 1e-12              # mass(hi) = 0 < top_p
 
-    def body(_, lohi):
-        lo, hi = lohi
+    # statically unrolled: a fori_loop of tiny masked sums pays per-iteration
+    # loop overhead inside the decode scan; straight-line code lets XLA fuse
+    # and pipeline the 24 reductions
+    for _ in range(iters):
         mid = 0.5 * (lo + hi)
         mass = jnp.sum(jnp.where(probs >= mid, probs, 0.0), axis=-1, keepdims=True)
         ok = mass >= top_p
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        lo, hi = jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
     return lo
 
 
