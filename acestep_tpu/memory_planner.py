@@ -139,18 +139,16 @@ def plan_request(
         b -= 1
     dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
 
-    # qmm backend for this bucket: XLA-dequant (hoists dequant out of the
-    # 8-step scan; measured faster at every benched shape, e.g. 28 vs 41
-    # ms/step at 60 s q4_0) when the transient bf16 weight copy fits on top of
-    # the activations with 1 GiB to spare, else the pallas streaming path —
-    # which since round 2 runs in its STACKED scalar-prefetch form in the DiT
-    # layer scan (no per-layer weight-slice copies: 88 vs 171 ms diffusion per
-    # 10 s clip q8_0 vs the per-layer kernels)
-    qmm_backend = (
-        "xla"
-        if dit_bf16_bytes and budget - dit_bytes >= dit_bf16_bytes + GiB
-        else "pallas"
-    )
+    # qmm backend: pallas everywhere.  Round 2 preferred "xla" (dequant
+    # hoisted out of the Euler scan) when the transient bf16 weight copy fit —
+    # the fused pallas kernels then lost 41 vs 28 ms/step at 60 s q4_0.  The
+    # round-3 qkv/gate-up weight fusion + fat K-tiles close that: measured
+    # fused:pallas 24.96 vs fused:xla 24.97 ms/step at 60 s q4_0 and 8.12 vs
+    # 8.15 at 10 s q8_0 (tools/bench_dit_step.py, docs/BENCHMARK.md) — and
+    # pallas streams quantized bytes instead of holding a bf16 copy of the
+    # whole DiT (q8: 2.4 GB less HBM residency).  ACESTEP_TPU_QMM_BACKEND
+    # still forces either path.
+    qmm_backend = "pallas"
 
     vae_budget = budget - 0  # VAE runs after diffusion; latents are small
     per_frame = vae_decode_bytes_per_frame(vae_cfg) * b

@@ -328,10 +328,23 @@ def _mlp(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
         gate = linear(x, p["gate_proj"]["kernel"])
         up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    out = linear(act, p["down_proj"]["kernel"])
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out
+        from acestep_tpu.parallel.collective_matmul import (
+            allreduce_matmul, collective_matmul_enabled)
+
+        if collective_matmul_enabled():
+            # ICI-overlapped ring all-reduce matmul (scaling-book collective
+            # matmul): chunked dots overlap the ppermute hops instead of one
+            # monolithic dot followed by a blocking psum.  bf16 weight path.
+            w = p["down_proj"]["kernel"]
+            if not isinstance(w, jax.Array):
+                from acestep_tpu.ops.qlinear import dequantize
+
+                w = dequantize(w, dtype=jnp.bfloat16)
+            return allreduce_matmul(act, w, axis_name)
+        out = linear(act, p["down_proj"]["kernel"])
+        return jax.lax.psum(out, axis_name)
+    return linear(act, p["down_proj"]["kernel"])
 
 
 def _timestep_embed(p: Params, t: jax.Array, dtype) -> Tuple[jax.Array, jax.Array]:
