@@ -187,6 +187,26 @@ def _pallas_decode_attn(t_max: int, nh: int, nkv: int, hd: int):
                              interpret=not on_tpu)
 
 
+def _pallas_decode_attn_fused(t_max: int, nh: int, nkv: int, hd: int, eps: float):
+    """Fused-prologue decode attention (q/k norm + rope + KV quantize +
+    attention in ONE kernel per layer) when ACESTEP_TPU_DECODE_ATTN=fused.
+
+    The round-3 A/B matrix showed b=1 decode is latency-bound on the per-step
+    serial chain of small XLA fusions (docs/BENCHMARK.md); this collapses ~12
+    of them per layer into the attention kernel."""
+    import os as _os
+
+    if _os.environ.get("ACESTEP_TPU_DECODE_ATTN", "auto") != "fused":
+        return None
+    if hd % 128 != 0 or nkv == 0 or nh % nkv != 0 or t_max % 128 != 0:
+        return None
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    from acestep_tpu.ops.pallas.decode_attn import decode_attention_fused_stacked
+
+    return functools.partial(decode_attention_fused_stacked,
+                             eps=eps, interpret=not on_tpu)
+
+
 def _qkv_proj(p, xn, b: int, t: int, nh: int, nkv: int, hd: int):
     """q/k/v projections, through the serving-fused qkv weight when present
     (one weight stream + one kernel launch instead of three)."""
@@ -384,9 +404,11 @@ def decode_step(
         n_layers_s = cache.k.shape[0]
         li_range = jnp.arange(n_layers_s, dtype=jnp.int32)
         pattn = _pallas_decode_attn(t_max, nh, nkv, hd)
+        pattn_fused = _pallas_decode_attn_fused(t_max, nh, nkv, hd,
+                                                cfg.rms_norm_eps)
 
         def scan_body(x, xs):
-            if pattn is not None:
+            if pattn is not None or pattn_fused is not None:
                 li, p_small = xs
                 kq_l = ks_l = vq_l = vs_l = None
             else:
@@ -394,6 +416,18 @@ def decode_step(
             p = _rebuild_layer_params(p_small, big_weights, li) if use_sw else p_small
             xn = rms_norm(x, p["input_norm"], cfg.rms_norm_eps)
             q, k, v = _qkv_proj(p, xn, b, 1, nh, nkv, hd)
+            if pattn_fused is not None:
+                # norm + rope + quantize + attention in one kernel per layer
+                out, kq_new, ks_new, vq_new, vs_new = pattn_fused(
+                    q[:, 0], k[:, 0], v[:, 0],
+                    p["q_norm"], p["k_norm"], cos[:, 0], sin[:, 0],
+                    cache.k, cache.k_scale, cache.v, cache.v_scale,
+                    cache.length, li)
+                attn = out.astype(x.dtype).reshape(b, 1, nh * hd)
+                x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+                hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+                x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
+                return x, (kq_new, ks_new, vq_new, vs_new)
             q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
             k = rms_norm(k, p["k_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
@@ -428,17 +462,19 @@ def decode_step(
             outs = []
             for li in range(n_layers_s):
                 p_l = jax.tree_util.tree_map(lambda a: a[li], layers_small)
-                xs_l = (jnp.int32(li), p_l) if pattn is not None else (
-                    jnp.int32(li), p_l, cache.k[li], cache.k_scale[li],
-                    cache.v[li], cache.v_scale[li])
+                xs_l = ((jnp.int32(li), p_l)
+                        if pattn is not None or pattn_fused is not None else (
+                            jnp.int32(li), p_l, cache.k[li], cache.k_scale[li],
+                            cache.v[li], cache.v_scale[li]))
                 x, out = scan_body(x, xs_l)
                 outs.append(out)
             k_new, ks_new, v_new, vs_new = (
                 jnp.stack([o[i] for o in outs]) for i in range(4))
         else:
-            xs = (li_range, layers_small) if pattn is not None else (
-                li_range, layers_small, cache.k, cache.k_scale,
-                cache.v, cache.v_scale)
+            xs = ((li_range, layers_small)
+                  if pattn is not None or pattn_fused is not None else (
+                      li_range, layers_small, cache.k, cache.k_scale,
+                      cache.v, cache.v_scale))
             x, (k_new, ks_new, v_new, vs_new) = jax.lax.scan(
                 scan_body, x, xs,
                 unroll=int(_os.environ.get("ACESTEP_TPU_DECODE_SCAN_UNROLL", "1")),
