@@ -353,7 +353,15 @@ def main(argv=None):
             lora_rt = LoRARuntime(engine, dit_base_params)
         from acestep_tpu.serving.dataset_manager import DatasetManager
 
-        srv = ApiServer(generate, lora_runtime=lora_rt,
+        srv = ApiServer(generate,
+                        # LM inspiration/rewrite flows behind the studio's
+                        # Inspire / Format buttons (reference api_server.py
+                        # /create_random_sample + /format_input)
+                        create_sample_fn=(lm.create_sample_from_query
+                                          if lm is not None else None),
+                        format_input_fn=(lm.format_sample_from_input
+                                         if lm is not None else None),
+                        lora_runtime=lora_rt,
                         training_manager=TrainingManager(),
                         dataset_manager=DatasetManager(
                             engine, lm=lm,
