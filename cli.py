@@ -50,7 +50,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--shift", type=float, default=3.0)
     ap.add_argument("--infer-method", choices=["ode", "sde"], default="ode")
-    ap.add_argument("--quant", choices=["bf16", "q8_0", "q4_0", "q4_k"], default=None)  # default from Settings (q8_0)
+    ap.add_argument("--quant", choices=["bf16", "q8_0", "q4_0", "q4_k", "q6_k"], default=None)  # default from Settings (q8_0)
     ap.add_argument("--checkpoint", type=str, help="converted checkpoint dir (loader.save_params files)")
     ap.add_argument("--out", type=str, default="output.wav")
     ap.add_argument("--compile-cache", type=str, default=".jax_cache")

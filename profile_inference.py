@@ -171,7 +171,7 @@ def main():
     ap.add_argument("--mode", choices=["profile", "benchmark", "tier-test",
                                        "understand", "create_sample",
                                        "format_sample"], default="profile")
-    ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k"])
+    ap.add_argument("--quant", default="q8_0", choices=["bf16", "q8_0", "q4_0", "q4_k", "q6_k"])
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--durations", default="10,30,60")
