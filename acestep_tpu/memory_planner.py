@@ -161,10 +161,14 @@ def plan_request(
         chunk //= 2
     # stacked decode windows multiply the per-chunk activation; total decoded
     # audio also stays resident until assembly — scale the window batch down
-    # for long songs / tight budgets (600 s E2E on 16 GB needs < 4)
+    # for long songs / tight budgets (600 s E2E on 16 GB needs < 4).
+    # wb counts (item, window) pairs — the decode map's unit after the
+    # configs[3] fix (vae._decode_window_groups flattens item x window), so it
+    # budgets PER-ITEM frame bytes, not the whole merged batch per window.
+    per_frame_item = vae_decode_bytes_per_frame(vae_cfg)
     audio_resident = 2 * 4 * frames * vae_cfg.hop_length * vae_cfg.audio_channels * b
     wb = 4
-    while wb > 1 and wb * chunk * per_frame + audio_resident > vae_budget // 2:
+    while wb > 1 and wb * chunk * per_frame_item + audio_resident > vae_budget // 2:
         wb //= 2
     fits = dit_bytes <= budget and chunk * per_frame <= vae_budget
     return Plan(

@@ -343,10 +343,29 @@ def tiled_decode(
         # weights get embedded in the HLO (100MB+ compile payloads)
         jitted = jax.jit(lambda p, lat: decode(p, cfg, lat))
         decode_fn = lambda lat: jitted(params, lat)
+
+    import os as _os
+
+    env_wb = _os.environ.get("ACESTEP_TPU_VAE_WINDOW_BATCH")
+    try:
+        MAX_WINDOW_BATCH = max(1, int(env_wb)) if env_wb else max(1, max_window_batch or 4)
+    except ValueError:
+        MAX_WINDOW_BATCH = 4
+
+    def decode_batched(lat):
+        """decode_fn with the batch dim bounded by MAX_WINDOW_BATCH — merged
+        continuous-batching requests (b > 1) must not decode unbounded items
+        per call (full-rate conv activations are ~6.3 MB/frame/item)."""
+        if lat.shape[0] <= MAX_WINDOW_BATCH:
+            return decode_fn(lat)
+        parts = [decode_fn(lat[k:k + MAX_WINDOW_BATCH])
+                 for k in range(0, lat.shape[0], MAX_WINDOW_BATCH)]
+        return jnp.concatenate(parts, axis=0)
+
     if chunk_frames <= 0 or chunk_frames >= t:
         if host_assemble:
-            return _host_fetch([decode_fn(latents)])
-        return decode_fn(latents)
+            return _host_fetch([decode_batched(latents)])
+        return decode_batched(latents)
 
     # window plan (same bounds/trim semantics as the C++ loop)
     windows = _window_plan(t, chunk_frames, overlap_frames)
@@ -361,17 +380,10 @@ def tiled_decode(
     for idx, (cs, ce, ws, we) in enumerate(windows):
         by_size[we - ws].append(idx)
 
-    # cap the stacked-window batch: full-rate conv activations are ~0.4 GB per
-    # 128-frame window, so a small per-call window batch bounds peak HBM while
-    # still amortizing dispatches (a 600 s song has ~230 windows);
-    # ACESTEP_TPU_VAE_WINDOW_BATCH overrides (long songs on tight HBM)
-    import os as _os
-
-    env_wb = _os.environ.get("ACESTEP_TPU_VAE_WINDOW_BATCH")
-    try:
-        MAX_WINDOW_BATCH = max(1, int(env_wb)) if env_wb else max(1, max_window_batch or 4)
-    except ValueError:
-        MAX_WINDOW_BATCH = 4
+    # the stacked-window batch cap (MAX_WINDOW_BATCH above): full-rate conv
+    # activations are ~0.4 GB per 128-frame window, so a small per-call window
+    # batch bounds peak HBM while still amortizing dispatches (a 600 s song
+    # has ~230 windows); ACESTEP_TPU_VAE_WINDOW_BATCH overrides
 
     # host_assemble: trim on device, concatenate into ~48-window SUPERPIECES
     # and fetch those few large buffers — avoids both the full-length device
@@ -404,7 +416,7 @@ def tiled_decode(
         else:
             for i in idxs:
                 ws, we = windows[i][2], windows[i][3]
-                decoded[i] = fetch(decode_fn(latents[:, ws:we, :]))
+                decoded[i] = fetch(decode_batched(latents[:, ws:we, :]))
 
     pieces = []
     upsample = None
@@ -430,10 +442,15 @@ def tiled_decode(
 def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
     """Decode + trim every window; returns the ordered pieces (device arrays).
 
-    Windows are grouped by (size, trim) signature: interior windows share one
-    signature and run through ``lax.map(batch_size=max_window_batch)`` so the
+    Windows are grouped by (size, trim) signature and every (batch item,
+    window) pair runs through ``lax.map(batch_size=max_window_batch)`` so the
     decode body compiles ONCE per signature, executes in bounded-HBM groups,
-    and XLA reuses activation buffers across iterations."""
+    and XLA reuses activation buffers across iterations.  The map axis is the
+    flattened item x window product: a merged continuous-batching request
+    (b > 1) must be bounded exactly like a long song's window stack —
+    full-rate conv activations are ~6.3 MB per latent frame per item, so an
+    unbounded b=4 512-frame window decode holds ~13 GB of temps (the configs[3]
+    cross-bucket OOM)."""
     from collections import defaultdict
 
     b = latents.shape[0]
@@ -442,28 +459,25 @@ def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
         groups[(we - ws, cs - ws, we - ce)].append(idx)
     decoded: dict = {}
     for (size, tf0, tf1), idxs in groups.items():
-        if b == 1 and len(idxs) > 1:
-            stacked = jnp.concatenate(
-                [latents[:, windows[i][2]:windows[i][3], :] for i in idxs],
-                axis=0,
-            )                                   # [Nw, size, C]
+        stacked = jnp.concatenate(
+            [latents[:, windows[i][2]:windows[i][3], :] for i in idxs],
+            axis=0,
+        )                                   # [Nw*B, size, C] (window-major)
+        n = stacked.shape[0]
+        wb = max(1, min(max_window_batch, n))
+        if n <= wb:
+            audio = decode(params, cfg, stacked)
+        else:
             audio = jax.lax.map(
                 lambda x: decode(params, cfg, x[None])[0],
                 stacked,
-                batch_size=min(max_window_batch, len(idxs)),
-            )                                   # [Nw, size*ups, Cout]
-            ups = audio.shape[1] / size
-            t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
-            trimmed = audio[:, t0:audio.shape[1] - t1, :]
-            for j, i in enumerate(idxs):
-                decoded[i] = trimmed[j:j + 1]
-        else:
-            for i in idxs:
-                ws, we = windows[i][2], windows[i][3]
-                audio = decode(params, cfg, latents[:, ws:we, :])
-                ups = audio.shape[1] / size
-                t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
-                decoded[i] = audio[:, t0:audio.shape[1] - t1, :]
+                batch_size=wb,
+            )                               # [Nw*B, size*ups, Cout]
+        ups = audio.shape[1] / size
+        t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
+        trimmed = audio[:, t0:audio.shape[1] - t1, :]
+        for j, i in enumerate(idxs):
+            decoded[i] = trimmed[j * b:(j + 1) * b]
     return [decoded[i] for i in range(len(windows))]
 
 
@@ -560,7 +574,16 @@ def fused_tiled_decode_int16(
     and XLA reuses the activation buffers across iterations."""
     b, t, c = latents.shape
     if chunk_frames >= t:
-        pieces = [decode(params, cfg, latents)]
+        # single-window fast path; still bound the per-call batch — a merged
+        # continuous-batching request (b > 1) has the same full-rate
+        # activation footprint per item as a window stack
+        wb = max(1, min(max_window_batch, b))
+        if b <= wb:
+            pieces = [decode(params, cfg, latents)]
+        else:
+            pieces = [jax.lax.map(
+                lambda x: decode(params, cfg, x[None])[0],
+                latents, batch_size=wb)]
     else:
         windows = _window_plan(t, chunk_frames, overlap_frames)
         pieces = _decode_window_groups(params, cfg, latents, windows,

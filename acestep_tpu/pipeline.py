@@ -480,6 +480,23 @@ class AceStepEngine:
 
     # -- generation ---------------------------------------------------------
 
+    def max_batch_for_frames(self, frames: int) -> int:
+        """HBM-admission batch cap at a frame bucket.  The continuous batcher
+        consults this (``ContinuousBatcher(max_batch_for=...)``) before
+        padding requests up into one merged dispatch, so merges never exceed
+        what the plan admits (the engine's own clamp would truncate a
+        multi-item request)."""
+        from acestep_tpu import memory_planner as mp
+
+        if self._param_bytes is None:
+            self._param_bytes = mp.tree_bytes(self.dit_params) + mp.tree_bytes(self.vae_params)
+            self._dit_bf16_bytes = mp.dequant_bf16_bytes(self.dit_params)
+        plan = mp.plan_request(
+            self.dit_cfg, self.vae_cfg, self._param_bytes, 64,
+            bucket_frames(frames), dit_bf16_bytes=self._dit_bf16_bytes,
+        )
+        return max(1, plan.max_batch)
+
     def generate(self, req: GenerationRequest) -> GenerationResult:
         t0 = time.perf_counter()
         time_costs: Dict[str, float] = {}

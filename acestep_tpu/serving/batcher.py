@@ -197,15 +197,22 @@ class ContinuousBatcher:
         max_batch: int = 8,
         max_wait_s: float = 0.25,
         pad_ratio: float = 2.5,
+        max_batch_for: Optional[Callable[[int], int]] = None,
     ):
         # pad_ratio: max frame-bucket spread inside one merged batch — shorter
         # requests pad up to the batch bucket (wasting <= (ratio-1)/ratio of
         # their lanes) in exchange for fewer dispatches; 1.0 = exact-bucket
-        # merging only
+        # merging only.
+        # max_batch_for(frames) -> int: HBM-admission cap per frame bucket
+        # (AceStepEngine.max_batch_for_frames) — a merged batch never grows
+        # past what the memory plan admits at its max bucket, so the engine's
+        # batch clamp (which would truncate a multi-item request) never fires
         self.run_fn = run_fn
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.pad_ratio = max(1.0, pad_ratio)
+        self.max_batch_for = max_batch_for
+        self._admit_cache: Dict[int, int] = {}
         self._queues: Dict[Tuple, List[_Pending]] = {}
         self._lock = threading.Condition()
         self._stop = False
@@ -249,6 +256,18 @@ class ContinuousBatcher:
     def _effective_priority(p: _Pending, now: float) -> float:
         return p.priority + (now - p.arrived) / AGING_S
 
+    def _allowed_batch(self, frames: int) -> int:
+        """Admission cap at a frame bucket (memoized per bucket)."""
+        if self.max_batch_for is None:
+            return self.max_batch
+        if frames not in self._admit_cache:
+            try:
+                cap = int(self.max_batch_for(frames))
+            except Exception:
+                cap = self.max_batch
+            self._admit_cache[frames] = max(1, min(self.max_batch, cap))
+        return self._admit_cache[frames]
+
     def _pick_batch(self) -> Optional[List[_Pending]]:
         now = time.time()
         best = None
@@ -274,7 +293,7 @@ class ContinuousBatcher:
                     p = q[i]
                     f = _req_frames(p.req)
                     nf_min, nf_max = min(fmin, f), max(fmax, f)
-                    if (n + p.req.batch_size <= self.max_batch
+                    if (n + p.req.batch_size <= self._allowed_batch(nf_max)
                             and nf_max <= nf_min * self.pad_ratio):
                         take.append(q.pop(i))
                         n += p.req.batch_size
@@ -303,6 +322,15 @@ class ContinuousBatcher:
             try:
                 merged = merge_requests([p.req for p in batch])
                 result = self.run_fn(merged)
+                if len(batch) > 1 and result.latents.shape[0] != merged.batch_size:
+                    # the engine's HBM guard clamped the merged batch: fail
+                    # loudly rather than mis-splitting the surviving rows
+                    # across futures (admission via max_batch_for should
+                    # prevent reaching this)
+                    raise RuntimeError(
+                        f"engine returned {result.latents.shape[0]} items for a "
+                        f"merged batch of {merged.batch_size}; configure the "
+                        f"batcher's max_batch_for to respect the HBM plan")
                 parts = split_result(result, [p.req.batch_size for p in batch])
                 for p, r in zip(batch, parts):
                     p.future.set_result(r)

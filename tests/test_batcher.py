@@ -251,6 +251,52 @@ class TestCrossBucketMerge:
             batcher.stop()
         assert len(calls) == 2
 
+    def test_admission_caps_merged_batch(self):
+        """max_batch_for (the HBM plan hook) bounds merge growth per frame
+        bucket: at a cap of 2 for the big bucket, four compatible requests
+        [10s, 20s, 20s, 20s] must NOT all merge into one b=4 dispatch — the
+        engine's clamp would truncate the merged request (configs[3] failure
+        mode: a b=5@1536 merge clamped to 4 then OOM in the VAE)."""
+        calls = []
+        caps = {256: 8, 512: 2}
+        batcher = ContinuousBatcher(
+            self._run_fn(calls), max_batch=8, max_wait_s=0.1, pad_ratio=2.5,
+            max_batch_for=lambda frames: caps.get(frames, 1),
+        ).start()
+        try:
+            futs = [batcher.submit(_req(dur=d, seeds=[i]))
+                    for i, d in enumerate([10.0, 20.0, 20.0, 20.0])]
+            for f in futs:
+                f.result(timeout=5)
+        finally:
+            batcher.stop()
+        # every dispatch at the 512-frame bucket respects the cap of 2
+        assert all(b <= 2 for b, _ in calls), calls
+        assert sum(b for b, _ in calls) == 4
+
+    def test_batch_size_mismatch_fails_loudly(self):
+        """A run_fn that returns fewer items than the merged batch (an engine
+        batch clamp) must fail every future instead of mis-splitting rows."""
+        def run(req):
+            b = req.batch_size - 1          # simulate the engine's clamp
+            return GenerationResult(
+                audio=np.zeros((b, 40, 2), np.float32),
+                latents=np.zeros((b, 4, 8), np.float32),
+                sample_rate=48000,
+                time_costs={}, seeds=list(range(b)), audio_lengths=[10] * b,
+            )
+
+        batcher = ContinuousBatcher(run, max_batch=4, max_wait_s=0.1).start()
+        try:
+            f1 = batcher.submit(_req(dur=10.0, seeds=[1]))
+            f2 = batcher.submit(_req(dur=10.0, seeds=[2]))
+            with pytest.raises(RuntimeError, match="merged batch"):
+                f1.result(timeout=5)
+            with pytest.raises(RuntimeError, match="merged batch"):
+                f2.result(timeout=5)
+        finally:
+            batcher.stop()
+
     def test_merge_key_separates_semantic_knobs(self):
         """Different infer_steps / guidance must NOT merge (they change the
         compiled schedule / guidance math merge_requests copies from reqs[0])."""

@@ -210,6 +210,39 @@ class TestEndToEnd:
         lsb = max(np.abs(full).max() / 0.99, 1.0) / 32767.0
         assert np.abs(out - full).max() <= lsb * 0.51
 
+    def test_fused_decode_merged_batch_bounded(self, setup):
+        """b>1 (a merged continuous-batching request) with max_window_batch=1
+        must decode item-slices through the bounded map — NOT the whole batch
+        per window (the configs[3] cross-bucket OOM) — and match the full
+        per-batch decode exactly (windowed + single-window paths)."""
+        params = setup
+        for t, chunk in [(96, 40), (40, 512)]:     # windowed / chunk>=t paths
+            lat = jnp.asarray(np.random.default_rng(9).standard_normal(
+                (3, t, TINY.decoder_input_channels)), jnp.float32)
+            ref = np.asarray(vae.tiled_decode(params, TINY, lat,
+                                              chunk_frames=chunk,
+                                              overlap_frames=8))
+            i16, scale = vae.fused_tiled_decode_int16(
+                params, TINY, lat, chunk_frames=chunk, overlap_frames=8,
+                max_window_batch=1)
+            out = np.asarray(i16, np.float32).reshape(ref.shape) / float(scale)
+            lsb = max(np.abs(ref).max() / 0.99, 1.0) / 32767.0
+            assert np.abs(out - ref).max() <= lsb * 0.51, (t, chunk)
+
+    def test_tiled_decode_merged_batch_bounded(self, setup):
+        """tiled_decode with b > max_window_batch slices the batch per call
+        and matches the unbounded decode."""
+        params = setup
+        lat = jnp.asarray(np.random.default_rng(10).standard_normal(
+            (3, 96, TINY.decoder_input_channels)), jnp.float32)
+        ref = np.asarray(vae.tiled_decode(params, TINY, lat,
+                                          chunk_frames=60, overlap_frames=20,
+                                          max_window_batch=8))
+        out = np.asarray(vae.tiled_decode(params, TINY, lat,
+                                          chunk_frames=60, overlap_frames=20,
+                                          max_window_batch=1))
+        assert np.abs(out - ref).max() < 1e-5
+
     def test_tiled_decode_insufficient_overlap_has_seams(self, setup):
         """Sanity check on the probe: small overlap must NOT match — guards against
         the comparison accidentally passing for trivial reasons."""

@@ -82,7 +82,8 @@ def main():
             engine.generate(GenerationRequest(
                 duration_s=float(d), style_token_ids=style, seeds=[0]))
 
-        batcher = ContinuousBatcher(engine.generate, max_batch=8, max_wait_s=0.3)
+        batcher = ContinuousBatcher(engine.generate, max_batch=8, max_wait_s=0.3,
+                                    max_batch_for=engine.max_batch_for_frames)
         batcher.start()
         try:
             # two passes: pass 1 compiles the merged-batch shapes (the
