@@ -24,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,3")
+    ap.add_argument("--pad-ratio", type=float, default=2.5,
+                    help="configs[3] batcher pad_ratio (1.0 = same-bucket merges only)")
     ap.add_argument("--out", default=None, help="append JSON lines to this file")
     args = ap.parse_args()
 
@@ -83,6 +85,7 @@ def main():
                 duration_s=float(d), style_token_ids=style, seeds=[0]))
 
         batcher = ContinuousBatcher(engine.generate, max_batch=8, max_wait_s=0.3,
+                                    pad_ratio=args.pad_ratio,
                                     max_batch_for=engine.max_batch_for_frames)
         batcher.start()
         try:
