@@ -166,11 +166,22 @@ def plan_request(
     # configs[3] fix (vae._decode_window_groups flattens item x window), so it
     # budgets PER-ITEM frame bytes, not the whole merged batch per window.
     per_frame_item = vae_decode_bytes_per_frame(vae_cfg)
-    audio_resident = 2 * 4 * frames * vae_cfg.hop_length * vae_cfg.audio_channels * b
+
+    def _audio_resident(nb: int) -> int:
+        # decoded audio stays resident until assembly; scales with batch
+        return 2 * 4 * frames * vae_cfg.hop_length * vae_cfg.audio_channels * nb
+
     wb = 4
-    while wb > 1 and wb * chunk * per_frame_item + audio_resident > vae_budget // 2:
+    while wb > 1 and wb * chunk * per_frame_item + _audio_resident(b) > vae_budget // 2:
         wb //= 2
-    fits = dit_bytes <= budget and chunk * per_frame <= vae_budget
+    # the b-scaled resident-audio term can exceed the VAE budget even at wb=1
+    # (e.g. a merge of several long-duration requests that passed the DiT
+    # activation check) — clamp b too, don't just shrink the window batch
+    while b > 1 and chunk * per_frame_item + _audio_resident(b) > vae_budget // 2:
+        b -= 1
+        dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
+    fits = (dit_bytes <= budget and chunk * per_frame <= vae_budget
+            and chunk * per_frame_item + _audio_resident(b) <= vae_budget // 2)
     return Plan(
         max_batch=b,
         vae_chunk_frames=chunk,

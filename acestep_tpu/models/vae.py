@@ -358,9 +358,18 @@ def tiled_decode(
         per call (full-rate conv activations are ~6.3 MB/frame/item)."""
         if lat.shape[0] <= MAX_WINDOW_BATCH:
             return decode_fn(lat)
-        parts = [decode_fn(lat[k:k + MAX_WINDOW_BATCH])
-                 for k in range(0, lat.shape[0], MAX_WINDOW_BATCH)]
-        return jnp.concatenate(parts, axis=0)
+        # pad the final slice up to MAX_WINDOW_BATCH so every call shares one
+        # compiled shape (a raw remainder slice would cost an extra jit
+        # compile per distinct (remainder, window-size) pair)
+        n = lat.shape[0]
+        parts = []
+        for k in range(0, n, MAX_WINDOW_BATCH):
+            piece = lat[k:k + MAX_WINDOW_BATCH]
+            pad = MAX_WINDOW_BATCH - piece.shape[0]
+            if pad > 0:
+                piece = jnp.pad(piece, ((0, pad), (0, 0), (0, 0)))
+            parts.append(decode_fn(piece))
+        return jnp.concatenate(parts, axis=0)[:n]
 
     if chunk_frames <= 0 or chunk_frames >= t:
         if host_assemble:

@@ -17,7 +17,9 @@ TPU-shaped design decisions vs the GPU reference:
 
 from __future__ import annotations
 
+import collections
 import dataclasses
+import logging
 import threading
 import time
 import uuid
@@ -47,6 +49,12 @@ class _Pending:
 
 
 AGING_S = 5.0                # queued priority rises one level per AGING_S
+MERGED_SIZES_WINDOW = 256    # rolling window for /v1/stats merge-rate (old
+                             # traffic must not dominate a long-running server)
+ADMIT_CACHE_TTL_S = 60.0     # re-query the HBM admission hook after this long
+                             # (engine memory conditions change, e.g. LoRA load)
+
+log = logging.getLogger(__name__)
 
 
 def _merge_key(req: GenerationRequest) -> Tuple:
@@ -212,23 +220,27 @@ class ContinuousBatcher:
         self.max_wait_s = max_wait_s
         self.pad_ratio = max(1.0, pad_ratio)
         self.max_batch_for = max_batch_for
-        self._admit_cache: Dict[int, int] = {}
+        self._admit_cache: Dict[int, Tuple[int, float]] = {}  # frames -> (cap, stamp)
         self._queues: Dict[Tuple, List[_Pending]] = {}
         self._lock = threading.Condition()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
-        self.stats = {"batches": 0, "requests": 0, "merged_sizes": [],
-                      "padded_items": 0}
+        self.stats = {
+            "batches": 0, "requests": 0,
+            "merged_sizes": collections.deque(maxlen=MERGED_SIZES_WINDOW),
+            "padded_items": 0,
+        }
 
     def stats_summary(self) -> Dict[str, Any]:
         """Merge-rate stats for /v1/stats (nano-vllm scheduler exposes its
         batch occupancy the same way)."""
-        sizes = self.stats["merged_sizes"]
+        sizes = list(self.stats["merged_sizes"])  # rolling window, not history
         return {
             "requests": self.stats["requests"],
             "batches": self.stats["batches"],
             "avg_merged_batch": round(sum(sizes) / len(sizes), 2) if sizes else 0.0,
             "max_merged_batch": max(sizes) if sizes else 0,
+            "merge_window": MERGED_SIZES_WINDOW,
             "padded_items": self.stats["padded_items"],
             "queued": sum(len(q) for q in self._queues.values()),
         }
@@ -257,16 +269,23 @@ class ContinuousBatcher:
         return p.priority + (now - p.arrived) / AGING_S
 
     def _allowed_batch(self, frames: int) -> int:
-        """Admission cap at a frame bucket (memoized per bucket)."""
+        """Admission cap at a frame bucket (memoized with a TTL so caps track
+        changing engine memory conditions, e.g. LoRA weights loaded later)."""
         if self.max_batch_for is None:
             return self.max_batch
-        if frames not in self._admit_cache:
+        now = time.time()
+        cached = self._admit_cache.get(frames)
+        if cached is None or now - cached[1] > ADMIT_CACHE_TTL_S:
             try:
                 cap = int(self.max_batch_for(frames))
             except Exception:
-                cap = self.max_batch
-            self._admit_cache[frames] = max(1, min(self.max_batch, cap))
-        return self._admit_cache[frames]
+                # fail CLOSED: the hook exists to enforce HBM admission — if it
+                # breaks, serialize (cap=1) rather than silently disabling it
+                log.warning("max_batch_for(%d) raised; failing closed to cap=1",
+                            frames, exc_info=True)
+                cap = 1
+            self._admit_cache[frames] = (max(1, min(self.max_batch, cap)), now)
+        return self._admit_cache[frames][0]
 
     def _pick_batch(self) -> Optional[List[_Pending]]:
         now = time.time()

@@ -353,13 +353,21 @@ def main(argv=None):
             lora_rt = LoRARuntime(engine, dit_base_params)
         from acestep_tpu.serving.dataset_manager import DatasetManager
 
+        import secrets
+
+        def _fresh_seed_wrap(fn):
+            # the reference inspiration flow samples stochastically per call;
+            # a fixed default seed would make repeated Inspire clicks return
+            # the identical sample
+            return lambda text: fn(text, seed=secrets.randbelow(2**31))
+
         srv = ApiServer(generate,
                         # LM inspiration/rewrite flows behind the studio's
                         # Inspire / Format buttons (reference api_server.py
                         # /create_random_sample + /format_input)
-                        create_sample_fn=(lm.create_sample_from_query
+                        create_sample_fn=(_fresh_seed_wrap(lm.create_sample_from_query)
                                           if lm is not None else None),
-                        format_input_fn=(lm.format_sample_from_input
+                        format_input_fn=(_fresh_seed_wrap(lm.format_sample_from_input)
                                          if lm is not None else None),
                         lora_runtime=lora_rt,
                         training_manager=TrainingManager(),
