@@ -108,6 +108,7 @@ def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32,
 # (param_path, canonical checkpoint name stem, torch layout kind)
 #   conv    : Conv1d          [out, in, k] -> [k, in, out]
 #   conv_t  : ConvTranspose1d [in, out, k] -> reversed [k, in, out]
+#   linear  : Linear          [out, in]    -> [in, out]
 CODEC_TENSOR_SPEC = (
     ("proj_in", "detokenizer.proj_in", "conv"),
     ("up", "detokenizer.up", "conv_t"),
@@ -118,9 +119,63 @@ CODEC_TENSOR_SPEC = (
     ("tok_out", "tokenizer.out", "conv"),
 )
 
+# -- candidate architecture specs (VERDICT r4 item 5) -----------------------
+#
+# The real checkpoint's quantizer follows the vector-quantize-pytorch API
+# (`quantizer.get_output_from_indices`, `num_quantizers` attr —
+# handler.py:912-934), which points at FSQ / ResidualFSQ with optional
+# project_in/project_out linears; the detokenizer is a 5x upsampling conv
+# stack ([1,T5,dim] -> [1,T25,dim], handler.py:936-939).  Each spec below is a
+# LANDING ZONE: a real checkpoint whose tensors match one of them (directly or
+# via a `codec.name_map` rename) loads with no new code.  `codec.arch` in the
+# checkpoint's config.json pins a variant; otherwise load_from_checkpoint
+# auto-detects the first spec whose tensors are all present.
+
+# fsq_linear: plain FSQ quantizer with projection linears
+# (vector-quantize-pytorch FSQ(levels, dim): project_in Linear(dim->len(levels)),
+# project_out Linear(len(levels)->dim)); detokenizer = nearest-5x upsample +
+# two k5 convs.
+FSQ_LINEAR_SPEC = (
+    ("project_in", "tokenizer.quantizer.project_in", "linear"),
+    ("project_out", "tokenizer.quantizer.project_out", "linear"),
+    ("det0", "detokenizer.net.0", "conv"),
+    ("det2", "detokenizer.net.2", "conv"),
+)
+
+# rfsq_conv: ResidualFSQ with num_quantizers=1 (codes are ONE 64000-way
+# stream, so a deeper residual stack would need composite indices the LM
+# vocabulary doesn't carry) — layers.0 holds the FSQ projections; detokenizer
+# = ConvTranspose1d 5x upsample + post conv.
+RFSQ_CONV_SPEC = (
+    ("project_in", "tokenizer.quantizer.layers.0.project_in", "linear"),
+    ("project_out", "tokenizer.quantizer.layers.0.project_out", "linear"),
+    ("up", "detokenizer.up.0", "conv_t"),
+    ("post", "detokenizer.post.0", "conv"),
+)
+
 # safetensors name prefixes that mark codec-family tensors in a checkpoint
 CODEC_NAME_MARKERS = ("tokenizer.", "detokenizer.", "model.tokenizer.",
                       "model.detokenizer.")
+
+ARCH_SPECS = {
+    "conv_v1": CODEC_TENSOR_SPEC,
+    "fsq_linear": FSQ_LINEAR_SPEC,
+    "rfsq_conv": RFSQ_CONV_SPEC,
+}
+
+
+def get_arch(params: Dict[str, Any]) -> Tuple[str, Dict[str, Any]]:
+    """(arch name, arch param subtree).  New archs nest under an "arch:<name>"
+    key; the legacy flat layout is conv_v1 (back-compat with converted
+    checkpoints from earlier rounds)."""
+    for k in params:
+        if k.startswith("arch:"):
+            return k[5:], params[k]
+    return "conv_v1", params
+
+
+def wrap_arch(arch: str, tree: Dict[str, Any]) -> Dict[str, Any]:
+    return tree if arch == "conv_v1" else {f"arch:{arch}": tree}
 
 
 class CodecMismatchError(RuntimeError):

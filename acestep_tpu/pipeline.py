@@ -709,6 +709,20 @@ class AceStepEngine:
         # 2048-frame segment before) hides most of the decode compute
         if len(windows) >= 2:
             seg_windows = min(seg_windows, max(1, len(windows) // 2))
+        elif (b == 1 and seg_windows > 0 and t_valid >= 192
+              and os.environ.get("ACESTEP_TPU_SHORT_CLIP_SPLIT", "0") == "1"):
+            # OPT-IN short-clip split: decode 10-20 s clips as two half-song
+            # windows (32-frame overlap-discard seam) so the first half's d2h
+            # transfer overlaps the second half's compute.  Same-day A/B on
+            # the dev tunnel (docs/BENCHMARK.md round-4 fetch-overlap study):
+            # at a healthy channel (~27 ms RTT, ~42 MB/s) the single-dispatch
+            # path wins (0.173 s vs 0.192 s E2E) because the split's +25%
+            # decode FLOPs cost more than the ~2 MB fetch it hides; enable on
+            # slow channels where the fetch dominates.
+            ov = 32
+            stride = (t_valid + 1) // 2
+            windows = vae._window_plan(t_valid, stride + 2 * ov, ov)
+            seg_windows = 1
         if (
             os.environ.get("ACESTEP_TPU_VAE_FUSED", "1") != "0"
             and b == 1
@@ -727,13 +741,29 @@ class AceStepEngine:
                 rel = tuple(
                     (cs - lo, ce - lo, ws - lo, we - lo) for cs, ce, ws, we in seg
                 )
-                handles.append(vae.fused_decode_windows_int16(
+                seg_i16, seg_scale = vae.fused_decode_windows_int16(
                     self.vae_params, self.vae_cfg,
                     latents_valid[:, lo:hi, :], rel,
                     max_window_batch=plan.vae_window_batch,
-                ))
-            fetched = [jax.device_get(h) for h in handles]
-            latents_np = np.asarray(jax.device_get(latents_valid), np.float32)
+                )
+                # start the d2h transfer the moment this segment's compute
+                # completes (async): transfers overlap later segments' compute
+                # AND each other, instead of stacking one tunnel RTT per
+                # blocking device_get (measured: 2x1MB sequential gets 110 ms
+                # vs 82 ms async on the dev tunnel)
+                seg_i16.copy_to_host_async()
+                handles.append((seg_i16, seg_scale))
+            latents_valid.copy_to_host_async()
+            # device executes in enqueue order, so fencing the LAST segment's
+            # scale fences all decode compute (no-op with fences disabled —
+            # vae_compute then reads as enqueue time, like the fused path)
+            _fence(handles[-1][1])
+            time_costs["vae_compute_time_cost"] = time.perf_counter() - t2
+            t_fetch = time.perf_counter()
+            fetched = [(np.asarray(i16_h), np.asarray(jax.device_get(s_h)))
+                       for i16_h, s_h in handles]
+            latents_np = np.asarray(latents_valid, np.float32)
+            time_costs["audio_fetch_time_cost"] = time.perf_counter() - t_fetch
             scales = [float(s) for _, s in fetched]
             scale = min(scales)
             segments = []

@@ -81,6 +81,19 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_Q8_10S_INFER_S / value, 3),
     }
+    # regression tripwire: compare against the best prior round's number so a
+    # real regression is loud.  The dev tunnel's day-to-day throughput varies
+    # +/-20-35% (same binary, same cache), so only flag beyond that band.
+    prior = _best_prior_bench()
+    if prior is not None:
+        result["vs_prior"] = round(prior / value, 3)
+        if value > prior * 1.35:
+            print(
+                f"[bench] WARNING: {value:.4f}s is >35% slower than the best "
+                f"prior round ({prior:.4f}s) — beyond tunnel variance; "
+                f"investigate before shipping",
+                file=sys.stderr, flush=True,
+            )
     detail = {
         "backend": jax.default_backend(),
         "build_s": round(build_s, 2),
@@ -88,10 +101,35 @@ def main():
         "runs_s": [round(r, 4) for r in runs],
         "diffusion_s": round(res.time_costs["diffusion_time_cost"], 4),
         "vae_s": round(res.time_costs["vae_time_cost"], 4),
+        # compute-only vs device->host fetch split: the fetch rides the dev
+        # tunnel (~MB/s) here but PCIe (~GB/s) on a real host, so the compute
+        # number is the cross-host-comparable one
+        "vae_compute_s": round(res.time_costs.get("vae_compute_time_cost", 0.0), 4),
+        "audio_fetch_s": round(res.time_costs.get("audio_fetch_time_cost", 0.0), 4),
         "condition_s": round(res.time_costs["condition_time_cost"], 4),
+        "vae_overlapped": bool(res.time_costs.get("vae_overlapped")),
     }
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))
+
+
+def _best_prior_bench():
+    """Best (lowest) value across committed BENCH_r*.json files, if any."""
+    import glob
+    import os
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            v = data.get("parsed", {}).get("value")
+            if isinstance(v, (int, float)) and v > 0:
+                best = v if best is None else min(best, v)
+        except Exception:
+            continue
+    return best
 
 
 if __name__ == "__main__":

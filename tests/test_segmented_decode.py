@@ -105,3 +105,38 @@ def test_wav_writers_accept_segments(tmp_path):
     write_wav(str(p1), segs)
     write_wav(str(p2), full)
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_engine_short_clip_split(monkeypatch):
+    """A 10 s clip (single window at the plan chunk) splits into two
+    overlap-discard halves so the audio fetch overlaps decode compute; PCM
+    must match the unsegmented whole-song decode."""
+    import acestep_tpu.models.dit as dit_mod
+    import acestep_tpu.models.qwen as qwen_mod
+    from acestep_tpu.pipeline import AceStepEngine, GenerationRequest
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    engine = AceStepEngine(
+        dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+        vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+        qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+    )
+    rng = np.random.default_rng(4)
+    req = GenerationRequest(
+        duration_s=10.0, style_token_ids=rng.integers(0, 250, (1, 8)), seeds=[7])
+
+    monkeypatch.delenv("ACESTEP_TPU_VAE_SEGMENT_WINDOWS", raising=False)
+    monkeypatch.setenv("ACESTEP_TPU_SHORT_CLIP_SPLIT", "1")
+    seg_res = engine.generate(req)
+    assert seg_res.time_costs.get("vae_overlapped") == 1.0
+    assert len(seg_res.pcm16_segments()) == 2
+    assert "audio_fetch_time_cost" in seg_res.time_costs
+
+    monkeypatch.setenv("ACESTEP_TPU_VAE_SEGMENT_WINDOWS", "0")
+    whole_res = engine.generate(req)
+    assert "vae_overlapped" not in whole_res.time_costs
+
+    a, b = seg_res.audio_i16, whole_res.audio_i16
+    assert a.shape == b.shape
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+    assert seg_res.audio_lengths == whole_res.audio_lengths

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""ICI-overlap measurement: ring ``allreduce_matmul`` vs matmul+psum at TP DiT
+shapes (VERDICT r3 weak #6 — the collective-matmul path was wired but
+unmeasured).
+
+Runs on any >=2-device mesh:
+  * real TPU slice the day one exists — the measurement that decides whether
+    ``ACESTEP_TPU_COLLECTIVE_MATMUL=1`` becomes a default;
+  * the virtual CPU mesh today — correctness + harness smoke only (a ring of
+    host copies has no ICI to overlap, so CPU timings are NOT decision data).
+
+Usage:
+  python tools/bench_collective_matmul.py                 # default devices
+  python tools/bench_collective_matmul.py --cpu-mesh 8    # virtual CPU mesh
+
+Shapes: the flagship DiT mlp down_proj under TP — activations [B*T, inter/n],
+weight [inter/n, hidden] — at configs[0]/configs[2] sequence lengths, plus the
+qkv-sized row-parallel o_proj.  Reference analog: nano-vllm RowParallelLinear's
+post-hoc NCCL all_reduce (linear.py:152), which this ring replaces with
+compute-overlapped hops (scaling-book collective matmul).
+"""
+
+from __future__ import annotations
+
+import sys as _sys, os as _os
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", type=int, default=0,
+                    help="force a virtual CPU mesh of N devices")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--out", default=None, help="write JSON rows here")
+    args = ap.parse_args()
+
+    import os
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from acestep_tpu.parallel.collective_matmul import allreduce_matmul
+
+    devs = jax.devices()
+    n = len(devs)
+    if n < 2:
+        print(json.dumps({"skipped": True,
+                          "reason": f"{n} device(s); need >=2 for a ring"}))
+        return
+    mesh = Mesh(np.array(devs), ("tp",))
+    print(f"mesh: {n}x {devs[0].platform}", file=_sys.stderr)
+
+    # flagship DiT shapes (SURVEY §5.6: hidden 2048, inter 6144, heads 16x128)
+    HID, INTER = 2048, 6144
+    rows = []
+    cases = [
+        ("mlp_down 10s",  256 // 2,   INTER, HID),   # configs[0]: 128 tokens
+        ("mlp_down 120s", 3008 // 2,  INTER, HID),   # configs[2]: 1504 tokens
+        ("attn_o 120s",   3008 // 2,  HID,   HID),   # o_proj row-parallel
+    ]
+    for name, bt, k, nn in cases:
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((bt, k)),
+                        jnp.bfloat16)
+        w = jnp.asarray(np.random.default_rng(1).standard_normal((k, nn)) * 0.02,
+                        jnp.bfloat16)
+
+        @jax.jit
+        def ring(x, w):
+            return shard_map(
+                lambda a, b: allreduce_matmul(a, b, "tp"), mesh=mesh,
+                in_specs=(P(None, "tp"), P("tp", None)), out_specs=P(None, None),
+                check_rep=False,
+            )(x, w)
+
+        @jax.jit
+        def psum(x, w):
+            def body(a, b):
+                y = jnp.einsum("tk,kn->tn", a, b,
+                               preferred_element_type=jnp.float32)
+                return jax.lax.psum(y, "tp").astype(a.dtype)
+            return shard_map(body, mesh=mesh, in_specs=(P(None, "tp"), P("tp", None)),
+                             out_specs=P(None, None), check_rep=False)(x, w)
+
+        y_ring = np.asarray(ring(x, w), np.float32)
+        y_psum = np.asarray(psum(x, w), np.float32)
+        rel = float(np.abs(y_ring - y_psum).max()
+                    / (np.abs(y_psum).max() + 1e-9))
+        assert rel < 2e-2, f"{name}: ring/psum mismatch {rel}"
+
+        def timeit(f):
+            f(x, w)[0, 0].block_until_ready()
+            # fence via 1-elem readback (block_until_ready unreliable on the
+            # tunnel backend)
+            np.asarray(jax.device_get(f(x, w)[0:1, 0:1]))
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(jax.device_get(f(x, w)[0:1, 0:1]))
+                ts.append(time.perf_counter() - t0)
+            return float(np.min(ts)) * 1e3, float(np.median(ts)) * 1e3
+
+        r_min, r_med = timeit(ring)
+        p_min, p_med = timeit(psum)
+        row = {"case": name, "bt": bt, "k": k, "n": nn, "devices": n,
+               "platform": devs[0].platform, "max_rel_err": rel,
+               "ring_ms": {"min": r_min, "med": r_med},
+               "psum_ms": {"min": p_min, "med": p_med},
+               "speedup_min": p_min / r_min}
+        rows.append(row)
+        print(f"{name}: ring {r_min:.3f} ms  psum {p_min:.3f} ms  "
+              f"speedup x{p_min / r_min:.2f}  (rel err {rel:.1e})",
+              file=_sys.stderr)
+
+    out = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+           "decision_data": devs[0].platform == "tpu" and n >= 2,
+           "rows": rows}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
