@@ -92,6 +92,49 @@ def init_params(key: jax.Array, hidden: int = 512, dtype=jnp.float32,
     }
 
 
+def init_arch_params(arch: str, key: jax.Array, hidden: int = 256,
+                     dtype=jnp.float32, latent_dim: Optional[int] = None
+                     ) -> Dict[str, Any]:
+    """Random-init params for any registered arch (tests / synthesized
+    checkpoints).  conv_v1 keeps its legacy flat layout."""
+    d = len(FSQ_LEVELS)
+    ld = latent_dim if latent_dim is not None else LATENT_DIM
+    if arch == "conv_v1":
+        return init_params(key, hidden=hidden, dtype=dtype, latent_dim=latent_dim)
+
+    ks = jax.random.split(key, 6)
+
+    def conv_p(k, kw, cin, cout):
+        scale = 1.0 / math.sqrt(kw * cin)
+        return {"w": (jax.random.normal(k, (kw, cin, cout), jnp.float32)
+                      * scale).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    def lin_p(k, cin, cout):
+        scale = 1.0 / math.sqrt(cin)
+        return {"w": (jax.random.normal(k, (cin, cout), jnp.float32)
+                      * scale).astype(dtype),
+                "b": jnp.zeros((cout,), dtype)}
+
+    if arch == "fsq_linear":
+        tree = {
+            "project_in": lin_p(ks[0], ld, d),
+            "project_out": lin_p(ks[1], d, ld),
+            "det0": conv_p(ks[2], 5, ld, hidden),
+            "det2": conv_p(ks[3], 5, hidden, ld),
+        }
+    elif arch == "rfsq_conv":
+        tree = {
+            "project_in": lin_p(ks[0], ld, d),
+            "project_out": lin_p(ks[1], d, ld),
+            "up": conv_p(ks[2], 3 * CODES_PER_LATENT, ld, hidden),
+            "post": conv_p(ks[3], 3, hidden, ld),
+        }
+    else:
+        raise ValueError(f"unknown codec arch {arch!r}")
+    return wrap_arch(arch, tree)
+
+
 # ---------------------------------------------------------------------------
 # checkpoint loading (converter probe / arch-override path)
 # ---------------------------------------------------------------------------
@@ -190,10 +233,12 @@ class CodecMismatchError(RuntimeError):
             lines.append("  found in checkpoint: " + ", ".join(sorted(found)[:40]))
         if shape_errors:
             lines += [f"  shape mismatch: {e}" for e in shape_errors]
-        lines.append("  fix: add a codec.name_map override block to the "
-                     "checkpoint's config.json mapping these names onto the "
-                     "spec stems (models/codec.py CODEC_TENSOR_SPEC), or pass "
-                     "--allow-random-codec to keep the structural bridge.")
+        lines.append("  fix: pin a variant with a codec.arch override in the "
+                     "checkpoint's config.json (available: "
+                     + ", ".join(sorted(ARCH_SPECS)) + "), and/or add a "
+                     "codec.name_map block mapping the checkpoint names onto "
+                     "that arch's spec stems (models/codec.py ARCH_SPECS); or "
+                     "pass --allow-random-codec to keep the structural bridge.")
         super().__init__("\n".join(lines))
 
 
@@ -208,23 +253,33 @@ def probe_tensor_names(names) -> list:
     return sorted(out)
 
 
-def load_from_checkpoint(st, name_map: Optional[Dict[str, str]] = None,
-                         dtype=jnp.float32) -> Dict[str, Any]:
-    """Build the codec param tree from a checkpoint's tensors.
+def _torch_to_ours(w: np.ndarray, kind: str):
+    """torch tensor layout -> our layout (None + reason on rank mismatch)."""
+    if kind == "linear":
+        if w.ndim != 2:
+            return None, f"expected 2-d linear weight, got {w.shape}"
+        return w.T.copy(), None                       # [out,in] -> [in,out]
+    if w.ndim != 3:
+        return None, f"expected 3-d conv weight, got {w.shape}"
+    if kind == "conv_t":
+        return w.transpose(2, 0, 1)[::-1].copy(), None  # [in,out,k] -> rev [k,in,out]
+    return w.transpose(2, 1, 0).copy(), None            # [out,in,k] -> [k,in,out]
 
-    ``st`` is a SafetensorsFile-like object with .keys() and .tensor(name).
-    ``name_map`` (the config.json `codec.name_map` override) maps spec stems
-    (e.g. "detokenizer.up") to the checkpoint's actual name stems; ".weight" /
-    ".bias" suffixes are appended per tensor.  Raises CodecMismatchError when
-    codec tensors exist but the mapping is incomplete or shapes are invalid.
-    """
-    names = set(st.keys())
-    present = probe_tensor_names(names)
-    name_map = dict(name_map or {})
 
+def _ours_to_torch(w: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of _torch_to_ours (synthesized-checkpoint export for tests)."""
+    if kind == "linear":
+        return np.asarray(w).T.copy()
+    if kind == "conv_t":
+        return np.asarray(w)[::-1].transpose(1, 2, 0).copy()
+    return np.asarray(w).transpose(2, 1, 0).copy()
+
+
+def _load_spec(st, spec, name_map, names, dtype):
+    """Load one arch spec; returns (params, missing, shape_errors)."""
     missing, shape_errors = [], []
     params: Dict[str, Any] = {}
-    for path, stem, kind in CODEC_TENSOR_SPEC:
+    for path, stem, kind in spec:
         src = name_map.get(stem, stem)
         # tolerate a "model." prefix (remote-code modules hang off the model)
         cand = [src, "model." + src]
@@ -233,59 +288,177 @@ def load_from_checkpoint(st, name_map: Optional[Dict[str, str]] = None,
             missing.append(stem + ".weight")
             continue
         w = np.asarray(st.tensor(w_name, as_f32=True), np.float32)
-        if w.ndim != 3:
-            shape_errors.append(f"{w_name}: expected 3-d conv weight, got {w.shape}")
+        w, err = _torch_to_ours(w, kind)
+        if err is not None:
+            shape_errors.append(f"{w_name}: {err}")
             continue
-        if kind == "conv_t":
-            w = w.transpose(2, 0, 1)[::-1].copy()     # [in,out,k] -> rev [k,in,out]
-        else:
-            w = w.transpose(2, 1, 0).copy()           # [out,in,k] -> [k,in,out]
         b_name = next((c + ".bias" for c in cand if c + ".bias" in names), None)
         b = (np.asarray(st.tensor(b_name, as_f32=True), np.float32) if b_name
-             else np.zeros((w.shape[2] if kind != "conv_t" else w.shape[2],), np.float32))
+             else np.zeros((w.shape[-1],), np.float32))
         params[path] = {"w": jnp.asarray(w, dtype), "b": jnp.asarray(b, dtype)}
+    return params, missing, shape_errors
 
-    if missing or shape_errors:
-        raise CodecMismatchError(missing, present, shape_errors)
 
-    # cross-tensor sanity: FSQ dim in, latent dim out, x5 upsample kernel
+def _sanity(arch: str, params: Dict[str, Any]):
+    """Cross-tensor sanity checks per arch; returns list of error strings."""
     d = len(FSQ_LEVELS)
-    if params["proj_in"]["w"].shape[1] != d:
-        raise CodecMismatchError(
-            [], present,
-            [f"proj_in in-dim {params['proj_in']['w'].shape[1]} != FSQ dim {d}"])
-    if params["up"]["w"].shape[0] % CODES_PER_LATENT != 0:
-        raise CodecMismatchError(
-            [], present,
-            [f"up kernel {params['up']['w'].shape[0]} not a multiple of "
-             f"x{CODES_PER_LATENT} upsample stride"])
-    return params
+    errs = []
+    if arch == "conv_v1":
+        if params["proj_in"]["w"].shape[1] != d:
+            errs.append(f"proj_in in-dim {params['proj_in']['w'].shape[1]} "
+                        f"!= FSQ dim {d}")
+        if params["up"]["w"].shape[0] % CODES_PER_LATENT != 0:
+            errs.append(f"up kernel {params['up']['w'].shape[0]} not a multiple "
+                        f"of x{CODES_PER_LATENT} upsample stride")
+    else:
+        if params["project_out"]["w"].shape[0] != d:
+            errs.append(f"project_out in-dim {params['project_out']['w'].shape[0]} "
+                        f"!= FSQ dim {d}")
+        if params["project_in"]["w"].shape[1] != d:
+            errs.append(f"project_in out-dim {params['project_in']['w'].shape[1]} "
+                        f"!= FSQ dim {d}")
+        if arch == "rfsq_conv" and params["up"]["w"].shape[0] % CODES_PER_LATENT != 0:
+            errs.append(f"up kernel {params['up']['w'].shape[0]} not a multiple "
+                        f"of x{CODES_PER_LATENT} upsample stride")
+    return errs
 
 
-def detokenize(params: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
-    """[B, T5] code indices -> [B, T5*5, 64] latents (handler.py:906-939 path)."""
+def load_from_checkpoint(st, name_map: Optional[Dict[str, str]] = None,
+                         arch: Optional[str] = None,
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """Build the codec param tree from a checkpoint's tensors.
+
+    ``st`` is a SafetensorsFile-like object with .keys() and .tensor(name).
+    ``name_map`` (the config.json `codec.name_map` override) maps spec stems
+    (e.g. "detokenizer.up") to the checkpoint's actual name stems; ".weight" /
+    ".bias" suffixes are appended per tensor.  ``arch`` (the config.json
+    `codec.arch` override) pins one of ARCH_SPECS; when None, the first arch
+    whose tensors are all present wins.  Raises CodecMismatchError when codec
+    tensors exist but no arch maps them completely or shapes are invalid.
+    """
+    names = set(st.keys())
+    present = probe_tensor_names(names)
+    name_map = dict(name_map or {})
+
+    if arch is not None:
+        if arch not in ARCH_SPECS:
+            raise CodecMismatchError(
+                [], present,
+                [f"unknown codec.arch {arch!r}; available: "
+                 f"{', '.join(sorted(ARCH_SPECS))}"])
+        tried = [arch]
+    else:
+        tried = list(ARCH_SPECS)
+
+    per_arch_missing = {}
+    for a in tried:
+        params, missing, shape_errors = _load_spec(
+            st, ARCH_SPECS[a], name_map, names, dtype)
+        if not missing and not shape_errors:
+            errs = _sanity(a, params)
+            if errs:
+                raise CodecMismatchError([], present, [f"[{a}] {e}" for e in errs])
+            return wrap_arch(a, params)
+        per_arch_missing[a] = (missing, shape_errors)
+
+    detail = []
+    for a, (missing, shape_errors) in per_arch_missing.items():
+        if missing:
+            detail.append(f"[{a}] missing: " + ", ".join(sorted(missing)[:10]))
+        for e in shape_errors:
+            detail.append(f"[{a}] {e}")
+    raise CodecMismatchError(
+        [m for ml, _ in per_arch_missing.values() for m in ml],
+        present, detail)
+
+
+def to_checkpoint_tensors(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Export a codec param tree as torch-layout checkpoint tensors under the
+    arch's canonical names (synthesized-checkpoint path for conformance
+    tests and the converter round-trip)."""
+    arch, p = get_arch(params)
+    out: Dict[str, np.ndarray] = {}
+    for path, stem, kind in ARCH_SPECS[arch]:
+        out[stem + ".weight"] = _ours_to_torch(p[path]["w"], kind)
+        out[stem + ".bias"] = np.asarray(p[path]["b"], np.float32)
+    return out
+
+
+def _detok_conv_v1(p: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
     v = indices_to_values(code_indices)                  # [B, T5, 6]
-    x = conv1d(v, params["proj_in"]["w"], params["proj_in"]["b"])
+    x = conv1d(v, p["proj_in"]["w"], p["proj_in"]["b"])
     x = conv_transpose1d(
-        jax.nn.gelu(x), params["up"]["w"], params["up"]["b"],
+        jax.nn.gelu(x), p["up"]["w"], p["up"]["b"],
         stride=CODES_PER_LATENT, padding=CODES_PER_LATENT,
     )
-    x = x + conv1d(jax.nn.gelu(x), params["res1"]["w"], params["res1"]["b"], padding=1)
-    x = x + conv1d(jax.nn.gelu(x), params["res2"]["w"], params["res2"]["b"], padding=1)
-    return conv1d(x, params["proj_out"]["w"], params["proj_out"]["b"])
+    x = x + conv1d(jax.nn.gelu(x), p["res1"]["w"], p["res1"]["b"], padding=1)
+    x = x + conv1d(jax.nn.gelu(x), p["res2"]["w"], p["res2"]["b"], padding=1)
+    return conv1d(x, p["proj_out"]["w"], p["proj_out"]["b"])
 
 
-def tokenize(params: Dict[str, Any], latents: jax.Array) -> jax.Array:
-    """[B, T25, 64] latents -> [B, T25//5] code indices (handler.py:1724-1733 path)."""
+def _tok_conv_v1(p: Dict[str, Any], latents: jax.Array) -> jax.Array:
     t25 = latents.shape[1]
     t5 = t25 // CODES_PER_LATENT
     x = latents[:, : t5 * CODES_PER_LATENT, :]
-    x = conv1d(x, params["down"]["w"], params["down"]["b"],
+    x = conv1d(x, p["down"]["w"], p["down"]["b"],
                stride=CODES_PER_LATENT, padding=CODES_PER_LATENT)
     x = x[:, :t5, :]
-    v = conv1d(jax.nn.gelu(x), params["tok_out"]["w"], params["tok_out"]["b"])
-    v = jnp.tanh(v)
+    v = conv1d(jax.nn.gelu(x), p["tok_out"]["w"], p["tok_out"]["b"])
+    return values_to_indices(jnp.tanh(v))
+
+
+def _project_out_values(p: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
+    """indices -> FSQ values -> quantizer.project_out (the
+    `get_output_from_indices` path, handler.py:932-934)."""
+    v = indices_to_values(code_indices)                  # [B, T5, 6]
+    return v @ p["project_out"]["w"] + p["project_out"]["b"]
+
+
+def _pool_project_in(p: Dict[str, Any], latents: jax.Array) -> jax.Array:
+    """latents 25 Hz -> mean-pool x5 -> quantizer.project_in -> bounded FSQ
+    values -> nearest indices (the `model.tokenize` path, handler.py:1724-1733;
+    FSQ bounds its pre-round values with tanh-like squashing)."""
+    b, t25, ld = latents.shape
+    t5 = t25 // CODES_PER_LATENT
+    x = latents[:, : t5 * CODES_PER_LATENT, :].reshape(b, t5, CODES_PER_LATENT, ld)
+    x = x.mean(axis=2)
+    v = jnp.tanh(x @ p["project_in"]["w"] + p["project_in"]["b"])
     return values_to_indices(v)
+
+
+def _detok_fsq_linear(p: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
+    x = _project_out_values(p, code_indices)             # [B, T5, ld]
+    x = jnp.repeat(x, CODES_PER_LATENT, axis=1)          # nearest 5x upsample
+    h = conv1d(x, p["det0"]["w"], p["det0"]["b"], padding=2)
+    return conv1d(jax.nn.gelu(h), p["det2"]["w"], p["det2"]["b"], padding=2)
+
+
+def _detok_rfsq_conv(p: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
+    x = _project_out_values(p, code_indices)             # [B, T5, ld]
+    x = conv_transpose1d(x, p["up"]["w"], p["up"]["b"],
+                         stride=CODES_PER_LATENT, padding=CODES_PER_LATENT)
+    return conv1d(jax.nn.gelu(x), p["post"]["w"], p["post"]["b"], padding=1)
+
+
+_ARCH_FWD = {
+    "conv_v1": (_detok_conv_v1, _tok_conv_v1),
+    "fsq_linear": (_detok_fsq_linear, _pool_project_in),
+    "rfsq_conv": (_detok_rfsq_conv, _pool_project_in),
+}
+
+
+def detokenize(params: Dict[str, Any], code_indices: jax.Array) -> jax.Array:
+    """[B, T5] code indices -> [B, T5*5, 64] latents (handler.py:906-939 path).
+    Dispatches on the param tree's arch (get_arch)."""
+    arch, p = get_arch(params)
+    return _ARCH_FWD[arch][0](p, code_indices)
+
+
+def tokenize(params: Dict[str, Any], latents: jax.Array) -> jax.Array:
+    """[B, T25, 64] latents -> [B, T25//5] code indices (handler.py:1724-1733
+    path).  Dispatches on the param tree's arch (get_arch)."""
+    arch, p = get_arch(params)
+    return _ARCH_FWD[arch][1](p, latents)
 
 
 def codes_to_latents(

@@ -368,3 +368,119 @@ def test_converter_end_to_end(tmp_path):
     ))
     assert np.isfinite(res.audio).all()
     assert res.audio.shape[1] == 250 * 32      # 10s at 25Hz-equivalent tiny hop
+
+
+@pytest.mark.parametrize("arch", ["fsq_linear", "rfsq_conv"])
+def test_converter_codec_arch_variants(tmp_path, arch):
+    """Each candidate codec architecture (VERDICT r4 item 5) is a landing
+    zone: a synthesized checkpoint in that arch's torch-layout tensor naming
+    converts end-to-end WITHOUT overrides (auto-detect), and the converted
+    params reproduce the source detokenizer bit-for-bit."""
+    import jax
+
+    from acestep_tpu.models import codec as codec_mod
+
+    rng = np.random.default_rng(7)
+    dit_dir = str(tmp_path / "dit")
+    out_dir = str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+
+    src_params = codec_mod.init_arch_params(
+        arch, jax.random.key(5), hidden=8, latent_dim=CODEC_LD)
+    ckpt_tensors = codec_mod.to_checkpoint_tensors(src_params)
+
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+    st = SafetensorsFile(os.path.join(dit_dir, "model.safetensors"))
+    t = {n: st.tensor(n) for n in st.keys()}
+    t.update(ckpt_tensors)
+    save_safetensors(os.path.join(dit_dir, "model.safetensors"), t)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0"])
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    codec_cfg = json.loads(
+        open(os.path.join(out_dir, "codec.config.json")).read())
+    assert codec_cfg["arch"] == arch
+
+    from acestep_tpu import loader
+    p = loader.load_params(os.path.join(out_dir, "codec"))
+    got_arch, _ = codec_mod.get_arch(p)
+    assert got_arch == arch
+
+    idx = np.asarray(rng.integers(0, 64000, (1, 10)), np.int32)
+    lat_src = np.asarray(codec_mod.detokenize(src_params, idx))
+    lat_conv = np.asarray(codec_mod.detokenize(p, idx))
+    assert lat_src.shape == (1, 50, CODEC_LD)
+    np.testing.assert_allclose(lat_conv, lat_src, rtol=1e-6, atol=1e-6)
+    codes = codec_mod.tokenize(p, np.asarray(lat_conv))
+    assert codes.shape == (1, 10)
+    assert np.asarray(codes).min() >= 0 and np.asarray(codes).max() < 64000
+
+
+def test_converter_codec_arch_pin_mismatch(tmp_path):
+    """Pinning codec.arch to a variant the checkpoint does NOT match fails
+    loudly and names the available archs."""
+    import jax
+
+    from acestep_tpu.models import codec as codec_mod
+
+    rng = np.random.default_rng(8)
+    dit_dir = str(tmp_path / "dit")
+    out_dir = str(tmp_path / "converted")
+    make_dit_checkpoint(rng, dit_dir)
+    src_params = codec_mod.init_arch_params(
+        "fsq_linear", jax.random.key(5), hidden=8, latent_dim=CODEC_LD)
+    from acestep_tpu.utils.safetensors_io import SafetensorsFile
+    st = SafetensorsFile(os.path.join(dit_dir, "model.safetensors"))
+    t = {n: st.tensor(n) for n in st.keys()}
+    t.update(codec_mod.to_checkpoint_tensors(src_params))
+    save_safetensors(os.path.join(dit_dir, "model.safetensors"), t)
+    cfg = json.loads(open(os.path.join(dit_dir, "config.json")).read())
+    cfg["codec"] = {"arch": "rfsq_conv"}       # wrong pin
+    with open(os.path.join(dit_dir, "config.json"), "w") as f:
+        json.dump(cfg, f)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = _run_converter(repo, ["--dit", dit_dir, "--out", out_dir,
+                                 "--quant", "q8_0"])
+    assert proc.returncode != 0
+    assert "rfsq_conv" in proc.stderr and "missing" in proc.stderr
+
+
+def test_understand_audio_roundtrip_each_arch(tmp_path):
+    """audio -> VAE encode -> codec tokenize -> codes -> detokenize latents
+    works for every registered arch (the understand/cover-hint flow's codec
+    legs, handler.py:1686-1741 + :906-939)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.models import codec as codec_mod
+    from acestep_tpu.training.dataset_builder import audio_to_codes
+    from acestep_tpu.lm_pipeline import codes_to_indices
+    import acestep_tpu.models.dit as dit_mod
+    import acestep_tpu.models.vae as vae_mod
+    import acestep_tpu.models.qwen as qwen_mod
+    from acestep_tpu.pipeline import AceStepEngine
+    from tests.test_pipeline import TINY_DIT, TINY_VAE, TINY_TEXT
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    engine = AceStepEngine(
+        dit_mod.init_params(k1, TINY_DIT, dtype=jnp.float32), TINY_DIT,
+        vae_mod.init_params(k2, TINY_VAE), TINY_VAE,
+        qwen_mod.init_params(k3, TINY_TEXT, dtype=jnp.float32), TINY_TEXT,
+    )
+    sr = engine.vae_cfg.sampling_rate
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((sr * 2, 2)) * 0.1).astype(np.float32)
+    ld = engine.dit_cfg.audio_acoustic_hidden_dim
+
+    for arch in codec_mod.ARCH_SPECS:
+        params = codec_mod.init_arch_params(
+            arch, jax.random.key(11), hidden=8, latent_dim=ld)
+        code_str = audio_to_codes(engine, params, audio)
+        idx = codes_to_indices(code_str)
+        assert len(idx) >= 5
+        lat = codec_mod.codes_to_latents(params, np.asarray(idx), 50)
+        assert lat.shape == (1, 50, ld)
+        assert np.isfinite(np.asarray(lat)).all()

@@ -112,7 +112,8 @@ def main():
         if probe:
             try:
                 codec_params = codec_mod.load_from_checkpoint(
-                    st, name_map=override.get("name_map"))
+                    st, name_map=override.get("name_map"),
+                    arch=override.get("arch"))
             except codec_mod.CodecMismatchError as e:
                 if not args.allow_random_codec:
                     print(f"codec: FAILED\n{e}", file=sys.stderr)
@@ -122,17 +123,21 @@ def main():
                 print(f"codec: unmapped, keeping structural bridge "
                       f"(--allow-random-codec)\n{e}", file=sys.stderr)
             else:
+                arch_name, _ = codec_mod.get_arch(codec_params)
                 loader.save_params(os.path.join(args.out, "codec"),
                                    codec_params,
-                                   {"component": "codec", "quant": "f32"})
+                                   {"component": "codec", "quant": "f32",
+                                    "arch": arch_name})
                 with open(os.path.join(args.out, "codec.config.json"), "w") as f:
                     json.dump({"source_names": probe,
+                               "arch": arch_name,
                                "name_map": override.get("name_map", {})}, f,
                               indent=1)
                 manifest["components"]["codec"] = {
-                    "source": args.dit, "tensors": len(probe)}
-                print(f"codec: loaded {len(probe)} checkpoint tensors",
-                      file=sys.stderr)
+                    "source": args.dit, "tensors": len(probe),
+                    "arch": arch_name}
+                print(f"codec: loaded {len(probe)} checkpoint tensors "
+                      f"(arch {arch_name})", file=sys.stderr)
     if args.vae:
         cfg = _load_cfg(args.vae, VAEConfig)
         convert("vae", args.vae, lambda st, c: loader.load_vae(st, c), cfg)
