@@ -250,6 +250,21 @@ def _segment_windows_env(chunk_frames: int) -> int:
     return max(2, 2048 // max(chunk_frames, 1))
 
 
+def _host_np(x) -> np.ndarray:
+    """Device array -> host numpy, multi-process safe.
+
+    Under a mesh that spans processes (cross-host serving), outputs sharded
+    over remote devices are not fully addressable and plain device_get raises;
+    the accepting host must all-gather them over DCN first — the same move
+    nano-vllm's rank-0 does when collecting results from TP ranks
+    (model_runner.py:174-202), expressed as a jax collective."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _fence(x: jax.Array) -> None:
     """Force completion of the computation producing x (for accurate per-phase
     time_costs).
@@ -751,18 +766,20 @@ class AceStepEngine:
                 # AND each other, instead of stacking one tunnel RTT per
                 # blocking device_get (measured: 2x1MB sequential gets 110 ms
                 # vs 82 ms async on the dev tunnel)
-                seg_i16.copy_to_host_async()
+                if getattr(seg_i16, "is_fully_addressable", True):
+                    seg_i16.copy_to_host_async()
                 handles.append((seg_i16, seg_scale))
-            latents_valid.copy_to_host_async()
+            if getattr(latents_valid, "is_fully_addressable", True):
+                latents_valid.copy_to_host_async()
             # device executes in enqueue order, so fencing the LAST segment's
             # scale fences all decode compute (no-op with fences disabled —
             # vae_compute then reads as enqueue time, like the fused path)
             _fence(handles[-1][1])
             time_costs["vae_compute_time_cost"] = time.perf_counter() - t2
             t_fetch = time.perf_counter()
-            fetched = [(np.asarray(i16_h), np.asarray(jax.device_get(s_h)))
+            fetched = [(_host_np(i16_h), _host_np(s_h))
                        for i16_h, s_h in handles]
-            latents_np = np.asarray(latents_valid, np.float32)
+            latents_np = _host_np(latents_valid).astype(np.float32)
             time_costs["audio_fetch_time_cost"] = time.perf_counter() - t_fetch
             scales = [float(s) for _, s in fetched]
             scale = min(scales)
@@ -804,7 +821,13 @@ class AceStepEngine:
             # 600 s costs ~18 s through the ~6 MB/s dev tunnel vs ~10 ms over
             # PCIe on a real host — report it separately so the compute number
             # is comparable across hosts
-            i16, scale, latents_np = jax.device_get((i16, scale, latents_valid))
+            if all(getattr(a, "is_fully_addressable", True)
+                   for a in (i16, scale, latents_valid)):
+                # one device_get call = one tunnel roundtrip for all three
+                i16, scale, latents_np = jax.device_get((i16, scale, latents_valid))
+            else:   # mesh spans processes: DCN all-gather before the fetch
+                i16, scale, latents_np = (
+                    _host_np(i16), _host_np(scale), _host_np(latents_valid))
             time_costs["audio_fetch_time_cost"] = (
                 time.perf_counter() - t2
                 - time_costs["vae_compute_time_cost"]

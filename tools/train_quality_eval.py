@@ -144,17 +144,24 @@ def phase_vae(out: str, steps: int = 3000, batch: int = 16) -> None:
         return jnp.log(jnp.abs(jnp.fft.rfft(seg, axis=-1)) + 1e-5)
 
     def loss_fn(p, audio):
-        recon = vae_mod.decode(p, vae_cfg, vae_mod.encode(p, vae_cfg, audio))
+        lat = vae_mod.encode(p, vae_cfg, audio)
+        recon = vae_mod.decode(p, vae_cfg, lat)
         recon = recon[:, : audio.shape[1], :]
         mse = jnp.mean((recon - audio) ** 2)
         sl = sum(jnp.mean(jnp.abs(stft_logmag(recon, n, h) - stft_logmag(audio, n, h)))
                  for n, h in FFTS)
-        return mse * 10.0 + sl * 0.5, (mse, sl)
+        # keep the latent space ~unit-scale: an unconstrained autoencoder can
+        # push arbitrary gain into the encoder (the decoder inverts it), which
+        # makes the downstream flow-matching DiT's v-target magnitudes explode
+        lat_reg = (jnp.mean(lat ** 2) - 1.0) ** 2
+        return mse * 10.0 + sl * 0.5 + lat_reg * 0.1, (mse, sl, lat_reg)
 
+    # conservative peak LR: the Snake/ConvTranspose chain diverged at 1e-3
+    # (loss 32 -> 1e6 around step 600 in the first round-4 run)
     opt = optax.chain(
-        optax.clip_by_global_norm(1.0),
+        optax.clip_by_global_norm(0.5),
         optax.adamw(optax.warmup_cosine_decay_schedule(
-            0.0, 1e-3, max(1, steps // 20), steps, 1e-5), weight_decay=1e-5),
+            0.0, 2e-4, max(1, steps // 10), steps, 1e-6), weight_decay=1e-5),
     )
     opt_state = opt.init(params)
 
@@ -165,16 +172,26 @@ def phase_vae(out: str, steps: int = 3000, batch: int = 16) -> None:
         return optax.apply_updates(p, updates), s, loss, aux
 
     t0 = time.time()
+    best, best_params, best_step = float("inf"), params, -1
     for step in range(steps):
         si = rng.integers(0, N_SONGS, batch)
         off = rng.integers(0, songs.shape[1] - CROP, batch)
         crops = np.stack([songs[s, o:o + CROP] for s, o in zip(si, off)])
-        params, opt_state, loss, (mse, sl) = train_step(
+        params, opt_state, loss, (mse, sl, lr_) = train_step(
             params, opt_state, jnp.asarray(crops))
         if step % 200 == 0 or step == steps - 1:
-            print(f"[vae] step {step}: loss {float(loss):.5f} "
-                  f"(mse {float(mse):.6f}, stft {float(sl):.4f}) "
-                  f"[{time.time()-t0:.0f}s]", file=sys.stderr)
+            l = float(loss)
+            # keep the best snapshot so a late spike can't poison the export
+            if np.isfinite(l) and l < best:
+                best, best_params, best_step = l, params, step
+            print(f"[vae] step {step}: loss {l:.5f} "
+                  f"(mse {float(mse):.6f}, stft {float(sl):.4f}, "
+                  f"lat_reg {float(lr_):.4f}) [{time.time()-t0:.0f}s]",
+                  file=sys.stderr)
+    if best_step >= 0 and best < float(loss):
+        print(f"[vae] restoring best snapshot from step {best_step} "
+              f"(loss {best:.5f} vs final {float(loss):.5f})", file=sys.stderr)
+        params = best_params
     # reconstruction quality on a held-out-style full song
     test = jnp.asarray(synth_song(np.random.default_rng(99))[None])
     recon = vae_mod.decode(params, vae_cfg, vae_mod.encode(params, vae_cfg, test))
