@@ -477,6 +477,32 @@ class ApiServer:
                         "error": job["error"],
                         "eta_s": job.get("eta_s"),
                     })
+                if self.path == "/v1/lyrics":
+                    # LRC + token timestamps for a completed job (the studio's
+                    # synced-lyrics display; reference gradio results handlers
+                    # surface get_lyric_timestamp the same way).  The aligner
+                    # runs during generation when return_lrc is set — this
+                    # route serves the stored result rather than re-running
+                    # the cross-attention probe on latents the job store no
+                    # longer holds.
+                    task_id = body.get("task_id", "")
+                    job = server.store.get(task_id)
+                    if job is None:
+                        return self._send(404, {"error": "unknown task_id"})
+                    if job["status"] != "completed":
+                        return self._send(409, {"error": f"job is {job['status']}"})
+                    result = job.get("result") or {}
+                    if not result.get("lrc"):
+                        return self._send(409, {
+                            "error": "job was generated without lyric "
+                                     "alignment; resubmit with return_lrc "
+                                     "and non-empty lyrics"})
+                    return self._send(200, {
+                        "task_id": task_id,
+                        "lrc": result["lrc"],
+                        "lyric_timestamps": result.get("lyric_timestamps"),
+                        "lyric_score": result.get("lyric_score"),
+                    })
                 if self.path == "/create_random_sample":
                     if server.create_sample_fn is None:
                         return self._send(501, {"error": "LM not loaded"})

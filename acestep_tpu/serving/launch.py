@@ -222,6 +222,7 @@ def make_generate_fn(engine, tokenizer=None):
             stamps, lrc = engine.get_lyric_timestamps(
                 res.latents, req, lyric_lines=lines, line_token_counts=counts)
             out["lrc"] = lrc
+            out["lyric_timestamps"] = [round(float(s), 3) for s in stamps]
             out["lyric_score"] = float(engine.get_lyric_score(res.latents, req))
         return out
 

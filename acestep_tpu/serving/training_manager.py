@@ -113,11 +113,13 @@ class TrainingManager:
         with self._lock:
             st = dict(self._state)
         tr = self._trainer
+        if tr is not None and tr.history:
+            # loss history serves the studio's sparkline even after the run
+            # completes (reference training tab keeps its loss chart up)
+            st["loss"] = tr.history[-1]
+            st["loss_history_tail"] = [round(x, 5) for x in tr.history[-100:]]
         if tr is not None and st.get("state") == "running":
             st["step"] = tr.step
-            if tr.history:
-                st["loss"] = tr.history[-1]
-                st["loss_history_tail"] = [round(x, 5) for x in tr.history[-20:]]
             started = st.get("started_at")
             if started and tr.step:
                 rate = tr.step / max(time.time() - started, 1e-6)

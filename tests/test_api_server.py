@@ -42,7 +42,12 @@ def server():
         if payload.get("fail"):
             raise RuntimeError("boom")
         time.sleep(0.05)
-        return {"audio_len": 42, "caption": payload.get("caption", "")}
+        out = {"audio_len": 42, "caption": payload.get("caption", "")}
+        if payload.get("return_lrc"):
+            out["lrc"] = "[00:01.00]line one\n[00:03.50]line two"
+            out["lyric_timestamps"] = [1.0, 3.5]
+            out["lyric_score"] = 0.42
+        return out
 
     srv = ApiServer(
         gen,
@@ -327,3 +332,26 @@ def test_training_lora_not_attached(server):
     assert code == 501
     code, _ = _get(port, "/v1/lora")
     assert code == 501
+
+
+def test_v1_lyrics(server):
+    """POST /v1/lyrics surfaces a completed job's LRC + timestamps (the
+    studio's synced-lyrics display); jobs without alignment get an actionable
+    409, unknown tasks a 404."""
+    srv, port = server
+    _, out = _post(port, "/release_task",
+                   {"caption": "x", "lyrics": "a\nb", "return_lrc": True})
+    _wait_result(port, out["task_id"])
+    code, ly = _post(port, "/v1/lyrics", {"task_id": out["task_id"]})
+    assert code == 200
+    assert ly["lrc"].startswith("[00:01.00]")
+    assert ly["lyric_timestamps"] == [1.0, 3.5]
+    assert ly["lyric_score"] == 0.42
+
+    _, out2 = _post(port, "/release_task", {"caption": "no-lrc"})
+    _wait_result(port, out2["task_id"])
+    code, err = _post(port, "/v1/lyrics", {"task_id": out2["task_id"]})
+    assert code == 409 and "return_lrc" in err["error"]
+
+    code, _ = _post(port, "/v1/lyrics", {"task_id": "nope"})
+    assert code == 404
