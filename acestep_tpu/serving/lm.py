@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -382,7 +383,38 @@ def decode_step(
         x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)
 
-    if _layers_stacked(params):
+    use_mega = (
+        os.environ.get("ACESTEP_TPU_DECODE_MEGA", "0") == "1"
+        and axis_name is None and _layers_stacked(params)
+    )
+    if use_mega:
+        from acestep_tpu.ops.pallas.decode_mega import (
+            decode_layers_mega, supported as _mega_supported)
+
+        use_mega = _mega_supported(params["layers"], cfg, b, t_max)
+    if use_mega:
+        # whole-model megakernel: every layer in ONE pallas_call (weights
+        # stream through an in-kernel DMA pipeline; docs/BENCHMARK.md round-4
+        # megakernel study)
+        x_res, k_new, ks_new, v_new, vs_new = decode_layers_mega(
+            params["layers"], cfg, cache.k, cache.k_scale,
+            cache.v, cache.v_scale, cache.length,
+            x[:, 0, :], cos[:, 0, :], sin[:, 0, :],
+        )
+        x = x_res.astype(x.dtype)[:, None, :]
+        kc, vc, ksc, vsc = cache.k, cache.v, cache.k_scale, cache.v_scale
+        for i in range(b):
+            pos = cache.length[i]
+            kc = jax.lax.dynamic_update_slice(
+                kc, k_new[:, i:i + 1, :, None, :], (0, i, 0, pos, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, v_new[:, i:i + 1, :, None, :], (0, i, 0, pos, 0))
+            ksc = jax.lax.dynamic_update_slice(
+                ksc, ks_new[:, i:i + 1, :, None], (0, i, 0, pos))
+            vsc = jax.lax.dynamic_update_slice(
+                vsc, vs_new[:, i:i + 1, :, None], (0, i, 0, pos))
+        cache = KVCache(kc, vc, ksc, vsc, cache.length)
+    elif _layers_stacked(params):
         # READ-ONLY layer scan over per-layer cache slices (scan-xs slicing
         # fuses into the attention reads); the current token enters through the
         # explicit self-term, and the cache write happens ONCE per step below
