@@ -24,6 +24,7 @@ import json
 import os
 from typing import Any, Callable, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -335,6 +336,9 @@ def _flatten(tree: Any, path: str = "") -> Dict[str, Any]:
 
 def save_params(path: str, params: Any, metadata: Optional[Dict[str, str]] = None) -> None:
     """Serialize a param tree (incl. QuantTensors) to <path>.safetensors + .json."""
+    # one batched device->host transfer up front: per-leaf np.asarray fetches
+    # stack one tunnel roundtrip per array on remote-device backends
+    params = jax.device_get(params)
     flat = _flatten(params)
     tensors: Dict[str, np.ndarray] = {}
     dtype_map: Dict[str, str] = {}

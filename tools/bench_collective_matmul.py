@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--cpu-mesh", type=int, default=0,
                     help="force a virtual CPU mesh of N devices")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny shapes (harness smoke test, not decision data)")
     ap.add_argument("--out", default=None, help="write JSON rows here")
     args = ap.parse_args()
 
@@ -73,6 +75,8 @@ def main() -> None:
         ("mlp_down 120s", 3008 // 2,  INTER, HID),   # configs[2]: 1504 tokens
         ("attn_o 120s",   3008 // 2,  HID,   HID),   # o_proj row-parallel
     ]
+    if args.tiny:
+        cases = [("tiny", 16, 16 * n, 64)]
     for name, bt, k, nn in cases:
         x = jnp.asarray(np.random.default_rng(0).standard_normal((bt, k)),
                         jnp.bfloat16)
