@@ -111,10 +111,17 @@ class Trainer:
                 return False
             step = int(ckpts[-1].split("_")[1])
         path = os.path.abspath(self._ckpt_dir(step))
+        item = {"trainable": self.trainable, "opt_state": self.opt_state}
+        # restore to HOST numpy, not onto the device: orbax's tensorstore
+        # restore issues device transfers from multiple worker threads, which
+        # deadlocks single-client remote-device tunnels; the next train step's
+        # normal jit transfer moves the state to the device safely
+        import numpy as _np
+
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=_np.ndarray), item)
         with ocp.PyTreeCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                path, item={"trainable": self.trainable, "opt_state": self.opt_state}
-            )
+            restored = ckptr.restore(path, item=item, restore_args=restore_args)
         self.trainable = restored["trainable"]
         self.opt_state = restored["opt_state"]
         meta_path = path + ".meta.json"

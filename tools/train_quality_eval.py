@@ -419,6 +419,12 @@ def main():
                     help="force the CPU backend (leave the TPU free)")
     args = ap.parse_args()
 
+    import faulthandler
+
+    # the dev tunnel can wedge mid-transfer; a periodic stack dump turns a
+    # silent multi-minute stall into a diagnosable traceback
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
     import jax
 
     if args.cpu:
