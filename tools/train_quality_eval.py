@@ -143,11 +143,22 @@ def phase_vae(out: str, steps: int = 3000, batch: int = 16) -> None:
         seg = x[:, idx] * win
         return jnp.log(jnp.abs(jnp.fft.rfft(seg, axis=-1)) + 1e-5)
 
+    SHIFT = 16
+
     def loss_fn(p, audio):
         lat = vae_mod.encode(p, vae_cfg, audio)
         recon = vae_mod.decode(p, vae_cfg, lat)
         recon = recon[:, : audio.shape[1], :]
-        mse = jnp.mean((recon - audio) ** 2)
+        # shift-tolerant waveform MSE: the conv/conv-transpose chain carries a
+        # small inherent group delay; at 800 Hz with 55-180 Hz content even a
+        # 2-sample misalignment anti-correlates the target, making silence the
+        # pointwise-MSE optimum — let the model lock onto its own delay
+        tgt = audio[:, SHIFT:-SHIFT, :]
+        mses = jnp.stack([
+            jnp.mean((recon[:, SHIFT + d: recon.shape[1] - SHIFT + d, :]
+                      - tgt) ** 2)
+            for d in range(-SHIFT, SHIFT + 1)])
+        mse = jnp.min(mses)
         sl = sum(jnp.mean(jnp.abs(stft_logmag(recon, n, h) - stft_logmag(audio, n, h)))
                  for n, h in FFTS)
         # keep the latent space ~unit-scale: an unconstrained autoencoder can
@@ -192,18 +203,39 @@ def phase_vae(out: str, steps: int = 3000, batch: int = 16) -> None:
         print(f"[vae] restoring best snapshot from step {best_step} "
               f"(loss {best:.5f} vs final {float(loss):.5f})", file=sys.stderr)
         params = best_params
-    # reconstruction quality on a held-out-style full song
+    # recon quality on a held-out-style full song.  What this decoder IS:
+    # spectrally trained (multi-res STFT recon) and well-conditioned — the
+    # property the quant gate needs.  What it is NOT: a high-fidelity
+    # waveform autoencoder — pointwise-phase reconstruction from scratch
+    # stays at the silence floor (waveform mse ~= signal variance) through
+    # 30k steps with or without shift tolerance; breaking that floor needs
+    # the adversarial/phase objectives real audio codecs train with
+    # (deliberately out of scope — the reference ships a PRETRAINED Oobleck
+    # and never trains a VAE either).  Report spectral recon as the honest
+    # quality number and keep waveform cosine for transparency.
     test = jnp.asarray(synth_song(np.random.default_rng(99))[None])
     recon = vae_mod.decode(params, vae_cfg, vae_mod.encode(params, vae_cfg, test))
     recon = np.asarray(recon)[:, : test.shape[1], :]
     a, b = np.asarray(test).ravel(), recon.ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
-    snr = float(10 * np.log10((a @ a) / (np.sum((a - b) ** 2) + 1e-30)))
-    print(f"[vae] recon on held-out song: cosine {cos:.5f}, snr {snr:.2f} dB",
+    spec_l1 = float(jnp.mean(jnp.abs(
+        stft_logmag(jnp.asarray(recon), 256, 64)
+        - stft_logmag(test, 256, 64))))
+    print(f"[vae] held-out recon: spectral log-mag L1 {spec_l1:.3f} "
+          f"(waveform cosine {cos:.5f} — phase not reconstructed, see note)",
           file=sys.stderr)
     loader.save_params(os.path.join(out, "vae_trained"), params)
     with open(os.path.join(out, "vae_trained_meta.json"), "w") as f:
-        json.dump({"steps": steps, "recon_cosine": cos, "recon_snr_db": snr}, f)
+        json.dump({
+            "steps": steps,
+            "spectral_recon_logmag_l1": spec_l1,
+            "recon_cosine_waveform": cos,
+            "note": ("spectrally-trained decoder (multi-res STFT recon, "
+                     "well-conditioned); waveform-phase recon from scratch "
+                     "stays at the silence floor without adversarial/phase "
+                     "objectives — see summary.md decoder-leg control for "
+                     "why this is the property the quant gate needs"),
+        }, f, indent=1)
     print(f"[vae] saved -> {out}/vae_trained", file=sys.stderr)
 
 
@@ -385,8 +417,18 @@ def phase_eval(out: str, report_dir: str) -> None:
                 f"| {r['decoder']} | {m['mae']:.6f} | {m['rmse']:.6f} "
                 f"| {m['cosine']:.6f} | {m['snr_db']:.2f} | {m['lsd']:.4f} |\n")
     vae_note = (
-        "VAE leg: TRAINED autoencoder (phase vae: waveform MSE + multi-res "
-        "STFT loss; recon quality in train_quality_r*/vae_trained_meta.json)."
+        "VAE leg: spectrally-TRAINED decoder (phase vae: shift-tolerant "
+        "waveform MSE + multi-res STFT + latent-scale reg; quality numbers in "
+        "train_quality_r*/vae_trained_meta.json).  It is well-conditioned and "
+        "trained on the same latent distribution the DiT produces — the "
+        "properties the quant gate needs (see the decoder-leg control below) "
+        "— but it is NOT a high-fidelity waveform autoencoder: pointwise "
+        "phase reconstruction from scratch stays at the silence floor without "
+        "the adversarial/phase objectives real audio codecs use (the "
+        "reference never trains its VAE either; it ships pretrained Oobleck "
+        "weights).  The q8_0 row below therefore measures quantization-"
+        "induced divergence through a realistic smooth decoder, not through "
+        "an arbitrary random amplifier (the round-3 flaw)."
         if vae_trained else
         "VAE leg: RANDOM decoder — waveform rows NOT meaningful (run --phase vae).")
     with open(os.path.join(report_dir, "summary.md"), "w") as f:
