@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from acestep_tpu.quant import BLOCK, QuantTensor
 
 CH = 1024          # uniform weight-chunk edge (K or N) -> 1 MB int8 per chunk
-TC = 256           # KV-cache T-chunk
+TC = 128           # KV-cache T-chunk (kv_cache.round_len granularity, so any
+                   # serving cache length divides evenly)
 NEG = -1e30
 
 
@@ -172,7 +173,7 @@ def _mega_kernel(
     def _():
         x_s[:] = x0_ref[:].astype(jnp.float32)
 
-    xnb = _rms(x_s[:], in_norm[0], eps).astype(jnp.bfloat16)   # [B, H]
+    xnb = _rms(x_s[:], in_norm[:], eps).astype(jnp.bfloat16)   # [B, H]
 
     def dequant(slot):
         w = wbuf[slot].astype(jnp.float32)
@@ -183,8 +184,8 @@ def _mega_kernel(
         q = qkv_acc[:, :qdim].reshape(b, hq_heads, d)
         k_ = qkv_acc[:, qdim:qdim + kvdim].reshape(b, hkv, d)
         v_ = qkv_acc[:, qdim + kvdim:].reshape(b, hkv, d)
-        q = _rms(q, q_norm[0], eps)
-        k_ = _rms(k_, k_norm[0], eps)
+        q = _rms(q, q_norm[:], eps)
+        k_ = _rms(k_, k_norm[:], eps)
         cos = cos_ref[:][:, None, :].astype(jnp.float32)
         sin = sin_ref[:][:, None, :].astype(jnp.float32)
         q = q * cos + _rot_half(q) * sin
@@ -296,7 +297,7 @@ def _mega_kernel(
                     .astype(jnp.float32)
         elif kind == "gu":
             if c == 0:
-                hn_b = _rms(x_s[:], post_norm[0], eps).astype(jnp.bfloat16)
+                hn_b = _rms(x_s[:], post_norm[:], eps).astype(jnp.bfloat16)
                 attn_s[:, :CH] = hn_b.astype(jnp.float32)  # stash for later chunks
             hn_now = attn_s[:, :CH].astype(jnp.bfloat16)
             gu_acc[:, c * CH:(c + 1) * CH] = jnp.dot(
@@ -348,8 +349,12 @@ def decode_layers_mega(
     kernel = functools.partial(_mega_kernel, cfg, b, t_max, sched)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    def vrow(width):
-        return pl.BlockSpec((1, width), lambda l, lens: (l, 0),
+    # norms are reshaped to [L, 1, H] so the per-layer block is (None, 1, H):
+    # its trailing dims EQUAL the array dims, satisfying Mosaic's tiling rule
+    # (a (1, H) block over [L, H] does not, and bf16 rows cannot be
+    # dynamically indexed in-kernel due to sublane packing)
+    def norm_spec(width):
+        return pl.BlockSpec((None, 1, width), lambda l, lens: (l, 0, 0),
                             memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda l, lens: (0, 0), memory_space=pltpu.VMEM)
@@ -361,7 +366,7 @@ def decode_layers_mega(
             any_spec, any_spec, any_spec, any_spec,   # qkv_d/s, o_d/s
             any_spec, any_spec, any_spec, any_spec,   # gu_d/s, dn_d/s
             any_spec, any_spec, any_spec, any_spec,   # k, ks, v, vs
-            vrow(h), vrow(h), vrow(d), vrow(d),       # norms
+            norm_spec(h), norm_spec(h), norm_spec(d), norm_spec(d),
             const2((b, h)), const2((b, d)), const2((b, d)),  # x0, cos, sin
         ],
         out_specs=[
@@ -424,8 +429,10 @@ def decode_layers_mega(
         qkv.data, qkv.scales, o.data, o.scales,
         gu.data, gu.scales, dn.data, dn.scales,
         cache_k, cache_ks, cache_v, cache_vs,
-        layers["input_norm"], layers["post_norm"],
-        layers["q_norm"], layers["k_norm"],
+        layers["input_norm"].reshape(n_layers, 1, -1),
+        layers["post_norm"].reshape(n_layers, 1, -1),
+        layers["q_norm"].reshape(n_layers, 1, -1),
+        layers["k_norm"].reshape(n_layers, 1, -1),
         x0.astype(jnp.float32), cos.astype(jnp.float32),
         sin.astype(jnp.float32),
     )

@@ -383,8 +383,14 @@ def decode_step(
         x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)
 
+    # whole-model megakernel: DEFAULT on TPU backends (measured 1.243 vs
+    # 1.815 ms/token b=1, 2.208 vs 2.834 b=8 same-day at 0.6B q8_0 —
+    # docs/BENCHMARK.md round-4 megakernel study); "0" forces the layer scan,
+    # "1" forces the kernel (tests drive it under interpret mode on CPU)
+    mega_env = os.environ.get("ACESTEP_TPU_DECODE_MEGA", "auto")
     use_mega = (
-        os.environ.get("ACESTEP_TPU_DECODE_MEGA", "0") == "1"
+        mega_env != "0"
+        and (mega_env == "1" or jax.default_backend() in ("tpu", "axon"))
         and axis_name is None and _layers_stacked(params)
     )
     if use_mega:
