@@ -115,7 +115,7 @@ def main():
                 "audio_s_per_wall_s": round(total_audio_s / wall, 2),
                 "cold_wall_s": round(walls[0], 4),
                 "batches": batcher.stats["batches"],
-                "merged_sizes": batcher.stats["merged_sizes"],
+                "merged_sizes": list(batcher.stats["merged_sizes"]),
             },
         })
         log(f"configs[3]: {wall:.3f}s wall for {total_audio_s}s of audio "
