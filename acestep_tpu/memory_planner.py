@@ -180,6 +180,9 @@ def plan_request(
     while b > 1 and chunk * per_frame_item + _audio_resident(b) > vae_budget // 2:
         b -= 1
         dit_bytes = dit_activation_bytes(dit_cfg, b, frames)
+    # the audio-resident clamp may have reduced b — refresh the b-scaled
+    # per-frame figure so `fits` and the reported detail match the final plan
+    per_frame = per_frame_item * b
     fits = (dit_bytes <= budget and chunk * per_frame <= vae_budget
             and chunk * per_frame_item + _audio_resident(b) <= vae_budget // 2)
     return Plan(

@@ -20,7 +20,8 @@ exists to delete per-op launch overhead at batch-1.
 Scope (asserted, with graceful fallback in serving/lm.py):
   * q8_0 serving-fused stacked weights (qkv/gateup fused, scales pre-cast f32)
   * hidden_size == 1024 (Qwen3-0.6B, the serving default planner)
-  * B <= 8, cache T a multiple of the 256-token chunk
+  * B <= 8, cache T a multiple of the 128-token KV chunk (TC), and the
+    estimated VMEM scratch footprint under budget (see ``_vmem_estimate``)
 Numerics mirror serving/lm.py decode_step: bf16 matmul operands, f32
 accumulation, f32 softmax, bf16-rounded residual stream.
 """
@@ -43,6 +44,35 @@ TC = 128           # KV-cache T-chunk (kv_cache.round_len granularity, so any
 NEG = -1e30
 
 
+def _vmem_estimate(cfg, b: int, t_max: int) -> int:
+    """Bytes of VMEM scratch the kernel allocates (mirror of scratch_shapes).
+
+    The only t_max-scaled term is the f32 scores buffer; everything else is
+    the fixed double-buffered weight/KV stream (~2.5 MB) plus per-batch
+    accumulators.  Gating on this keeps a long cache (large prompt +
+    max_new_tokens) from failing Mosaic compilation at serving time instead
+    of falling back to the layer-scan decode (ADVICE r4, medium).
+    """
+    d = cfg.head_dim
+    hkv = cfg.num_key_value_heads
+    inter = cfg.intermediate_size
+    h = cfg.hidden_size
+    qdim = cfg.num_attention_heads * d
+    fixed = (
+        2 * CH * CH                       # wbuf int8
+        + 2 * (CH // BLOCK) * CH * 4      # sbuf f32
+        + 2 * (2 * b * hkv * TC * d)      # k/v bufs int8
+        + 2 * (2 * b * hkv * TC * 4)      # k/v scale bufs f32
+    )
+    per_b = (h + (qdim + 2 * hkv * d) + qdim + 2 * inter + inter + h) * 4
+    scores = b * cfg.num_attention_heads * t_max * 4
+    return fixed + b * per_b + scores
+
+
+# leave >=4 MB of the ~16 MB/core VMEM for pipeline in/out blocks + compiler
+VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def supported(layers: Dict[str, Any], cfg, b: int, t_max: int) -> bool:
     """Shape/format gate for the megakernel path."""
     try:
@@ -63,6 +93,8 @@ def supported(layers: Dict[str, Any], cfg, b: int, t_max: int) -> bool:
     if cfg.hidden_size != CH:
         return False
     if b > 8 or t_max % TC:
+        return False
+    if _vmem_estimate(cfg, b, t_max) > VMEM_BUDGET:
         return False
     return True
 

@@ -81,3 +81,24 @@ def test_megakernel_gate():
                          num_attention_heads=16, num_key_value_heads=8,
                          intermediate_size=3072)
     assert not decode_mega.supported(params["layers"], bad_cfg, 1, 512)
+
+
+def test_megakernel_vmem_gate():
+    """Oversized caches must fall back to the scan path, not fail at compile.
+
+    The f32 scores scratch is (b, heads, t_max); at b=8 a long-enough cache
+    blows the ~16 MB/core VMEM — supported() must say no before pallas does.
+    """
+    from acestep_tpu.ops.pallas import decode_mega
+
+    params = _params()
+    # typical serving lengths stay supported
+    assert decode_mega.supported(params["layers"], CFG, 8, 2048)
+    # find the estimate-based cutoff and check the gate tracks it exactly
+    huge_t = 512 * 1024  # far beyond any serving cache; scores alone > budget
+    assert decode_mega._vmem_estimate(CFG, 8, huge_t) > decode_mega.VMEM_BUDGET
+    assert not decode_mega.supported(params["layers"], CFG, 8, huge_t)
+    # monotone: growing t_max never flips unsupported -> supported
+    ts = [1024, 4096, 16384, 65536, huge_t]
+    oks = [decode_mega.supported(params["layers"], CFG, 8, t) for t in ts]
+    assert oks == sorted(oks, reverse=True)
