@@ -448,7 +448,8 @@ def tiled_decode(
     return _host_fetch(supers)
 
 
-def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
+def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int,
+                          mesh=None):
     """Decode + trim every window; returns the ordered pieces (device arrays).
 
     Windows are grouped by (size, trim) signature and every (batch item,
@@ -459,13 +460,30 @@ def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
     (b > 1) must be bounded exactly like a long song's window stack —
     full-rate conv activations are ~6.3 MB per latent frame per item, so an
     unbounded b=4 512-frame window decode holds ~13 GB of temps (the configs[3]
-    cross-bucket OOM)."""
+    cross-bucket OOM).
+
+    With a ``mesh``, the window batch is additionally SHARDED across every
+    mesh device (dp and tp axes alike — overlap-discard windows are
+    embarrassingly data-parallel, unlike the TP'd DiT): each group pads its
+    stack to a multiple of the device count, constrains the batch axis over
+    the flattened mesh, and decodes ``max_window_batch`` windows PER DEVICE
+    per call.  The reference decodes tiles strictly serially even on its
+    biggest GPU (handler.py:2848 tiled_decode); this turns the decode's
+    critical path into ~ceil(Nw / N_devices) window-times + one ICI
+    all-gather of int16-bound audio."""
     from collections import defaultdict
 
     b = latents.shape[0]
     groups = defaultdict(list)
     for idx, (cs, ce, ws, we) in enumerate(windows):
         groups[(we - ws, cs - ws, we - ce)].append(idx)
+
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
     decoded: dict = {}
     for (size, tf0, tf1), idxs in groups.items():
         stacked = jnp.concatenate(
@@ -473,15 +491,33 @@ def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
             axis=0,
         )                                   # [Nw*B, size, C] (window-major)
         n = stacked.shape[0]
-        wb = max(1, min(max_window_batch, n))
-        if n <= wb:
-            audio = decode(params, cfg, stacked)
+        if mesh is not None and n_dev > 1:
+            # mesh path: decode wb windows per DEVICE per call; pad the final
+            # (or only) group to a multiple of the device count so every
+            # device holds an equal shard (padded windows decode silence and
+            # are dropped below)
+            wb = max(1, min(max_window_batch, -(-n // n_dev)))
+            cap = wb * n_dev
+            parts = []
+            for g0 in range(0, n, cap):
+                grp = stacked[g0:g0 + cap]
+                pad = -grp.shape[0] % n_dev
+                if pad:
+                    grp = jnp.pad(grp, ((0, pad), (0, 0), (0, 0)))
+                grp = jax.lax.with_sharding_constraint(grp, batch_sh)
+                out = decode(params, cfg, grp)
+                parts.append(out if pad == 0 else out[:grp.shape[0] - pad])
+            audio = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
         else:
-            audio = jax.lax.map(
-                lambda x: decode(params, cfg, x[None])[0],
-                stacked,
-                batch_size=wb,
-            )                               # [Nw*B, size*ups, Cout]
+            wb = max(1, min(max_window_batch, n))
+            if n <= wb:
+                audio = decode(params, cfg, stacked)
+            else:
+                audio = jax.lax.map(
+                    lambda x: decode(params, cfg, x[None])[0],
+                    stacked,
+                    batch_size=wb,
+                )                           # [Nw*B, size*ups, Cout]
         ups = audio.shape[1] / size
         t0, t1 = int(round(tf0 * ups)), int(round(tf1 * ups))
         trimmed = audio[:, t0:audio.shape[1] - t1, :]
@@ -491,7 +527,7 @@ def _decode_window_groups(params, cfg, latents, windows, max_window_batch: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "windows", "max_window_batch"),
+    jax.jit, static_argnames=("cfg", "windows", "max_window_batch", "mesh"),
 )
 def fused_decode_windows_int16(
     params: Params,
@@ -499,6 +535,7 @@ def fused_decode_windows_int16(
     latents: jax.Array,              # [1, T_seg, 64] (segment slice)
     windows: Tuple[Tuple[int, int, int, int], ...],   # SEGMENT-RELATIVE
     max_window_batch: int = 4,
+    mesh=None,                       # jax.sharding.Mesh: shard windows across it
 ) -> Tuple[jax.Array, jax.Array]:
     """One SEGMENT of a segmented tiled decode: decode the given (relative)
     windows, trim, concat, and int16-quantize at this segment's own peak scale
@@ -516,9 +553,16 @@ def fused_decode_windows_int16(
     ``fused_tiled_decode_int16``; the caller reconciles them to the global
     peak (scales only differ when some segment's peak exceeds 0.99)."""
     pieces = _decode_window_groups(params, cfg, latents, list(windows),
-                                   max_window_batch)
+                                   max_window_batch, mesh=mesh)
     full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
     full = full.astype(jnp.float32)
+    if mesh is not None:
+        # time-concat of window-sharded pieces: replicate before the global
+        # peak reduction so the i16 payload is one addressable buffer (the
+        # all-gather rides ICI and moves f32-audio-sized bytes once)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        full = jax.lax.with_sharding_constraint(full, NamedSharding(mesh, P()))
     peak = jnp.max(jnp.abs(full))
     scale = 32767.0 * jnp.where(peak > 0.99, 0.99 / jnp.maximum(peak, 1e-12), 1.0)
     i16 = jnp.clip(jnp.round(full * scale), -32768.0, 32767.0).astype(jnp.int16)
@@ -545,7 +589,8 @@ def _window_plan(t: int, chunk_frames: int, overlap_frames: Optional[int]):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk_frames", "overlap_frames", "max_window_batch"),
+    static_argnames=("cfg", "chunk_frames", "overlap_frames",
+                     "max_window_batch", "mesh"),
 )
 def fused_tiled_decode_int16(
     params: Params,
@@ -554,6 +599,7 @@ def fused_tiled_decode_int16(
     chunk_frames: int = 512,
     overlap_frames: Optional[int] = None,
     max_window_batch: int = 4,
+    mesh=None,                       # jax.sharding.Mesh: shard windows across it
 ) -> Tuple[jax.Array, jax.Array]:
     """The WHOLE tiled decode as one jitted program: window slicing, per-window
     decode, overlap trim, concat, global peak, and int16 quantization —
@@ -596,9 +642,13 @@ def fused_tiled_decode_int16(
     else:
         windows = _window_plan(t, chunk_frames, overlap_frames)
         pieces = _decode_window_groups(params, cfg, latents, windows,
-                                       max_window_batch)
+                                       max_window_batch, mesh=mesh)
     full = jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else pieces[0]
     full = full.astype(jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        full = jax.lax.with_sharding_constraint(full, NamedSharding(mesh, P()))
     peak = jnp.max(jnp.abs(full))
     # WAV output scale: attenuate to 0.99 full-scale only when the peak exceeds
     # it (audio_utils.py:24 semantics); quieter audio keeps its amplitude

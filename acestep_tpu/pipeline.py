@@ -357,6 +357,19 @@ class AceStepEngine:
         else:
             self._silence = None
 
+    def _vae_mesh(self):
+        """Mesh for window-sharded VAE decode (None => single-device path).
+
+        Decode windows are data-parallel over EVERY mesh device (dp x tp
+        flattened): VAE params are replicated, so unlike the TP'd DiT there
+        is no weight-shard constraint — a (dp=2, tp=4) mesh decodes 8 windows
+        at once.  ``ACESTEP_TPU_VAE_SHARD=0`` forces the serial path (A/B)."""
+        if self.mesh is None or int(self.mesh.devices.size) <= 1:
+            return None
+        if os.environ.get("ACESTEP_TPU_VAE_SHARD", "1") == "0":
+            return None
+        return self.mesh
+
     # -- conditioning -------------------------------------------------------
 
     def _silence_frames(self, t: int) -> jax.Array:
@@ -760,6 +773,7 @@ class AceStepEngine:
                     self.vae_params, self.vae_cfg,
                     latents_valid[:, lo:hi, :], rel,
                     max_window_batch=plan.vae_window_batch,
+                    mesh=self._vae_mesh(),
                 )
                 # start the d2h transfer the moment this segment's compute
                 # completes (async): transfers overlap later segments' compute
@@ -814,6 +828,7 @@ class AceStepEngine:
                 self.vae_params, self.vae_cfg, latents_valid,
                 chunk_frames=vae_chunk,
                 max_window_batch=plan.vae_window_batch,
+                mesh=self._vae_mesh(),
             )
             _fence(scale)   # scale depends on ALL audio: a true decode fence
             time_costs["vae_compute_time_cost"] = time.perf_counter() - t2
