@@ -215,7 +215,8 @@ class MetadataFSM:
         if f in FIELD_RANGES:
             if not text:
                 return True
-            if not text.isdigit() or text[0] == "0":
+            # isascii: "³".isdigit() is True but int("³") raises
+            if not text.isdigit() or not text.isascii() or text[0] == "0":
                 return False
             lo, hi = FIELD_RANGES[f]
             if partial:
@@ -240,23 +241,59 @@ class MetadataFSM:
 
     # -- public API ----------------------------------------------------------
 
+    def _sim_clone(self) -> "MetadataFSM":
+        c = object.__new__(MetadataFSM)
+        c.cfg = self.cfg
+        c.user = self.user
+        c.tries = self.tries
+        c.field_idx = self.field_idx
+        c.mode = self.mode
+        c.value_text = self.value_text
+        c.forced_text = self.forced_text
+        return c
+
     def allowed_piece(self, piece: str) -> bool:
-        """Would emitting token-string ``piece`` keep the output valid?"""
-        if self.forced_text is not None:
-            return self.forced_text.startswith(piece) or piece.startswith(self.forced_text)
-        f = self.current_field
-        if f is None:
-            return False
-        # in value mode: either extend the value, or end it with a newline
-        if "\n" in piece:
-            before = piece.split("\n", 1)[0]
-            text = self.value_text + before
-            return self._value_ok(f, text, partial=False) and bool(text)
-        user_val = self.user.get(f)
-        if user_val is not None:
-            target = user_val[len(self.value_text):]
-            return target.startswith(piece)
-        return self._value_ok(f, self.value_text + piece, partial=True)
+        """Would emitting token-string ``piece`` keep the output valid?
+
+        Walks the WHOLE piece through a simulated machine, so multi-segment
+        tokens ("72\\ntimesignature", "caption text\\ngenres: ") validate
+        every segment — a value-ending newline with invalid trailing text is
+        rejected instead of silently corrupting the forced-text consumption
+        in step() (pre-round-5 bug found by the DFA parity tests)."""
+        fsm = self._sim_clone()
+        while piece:
+            if fsm.forced_text is not None:
+                if fsm.forced_text.startswith(piece):
+                    return True                       # partial consume
+                if not piece.startswith(fsm.forced_text):
+                    return False
+                rest = piece[len(fsm.forced_text):]
+                if fsm.mode == "done":
+                    return True                       # trailing after </think>
+                fsm.forced_text = None
+                fsm.mode = "value"
+                piece = rest
+                continue
+            f = fsm.current_field
+            if f is None:
+                return False
+            if "\n" in piece:
+                before, after = piece.split("\n", 1)
+                text = fsm.value_text + before
+                user_val = fsm.user.get(f)
+                if user_val is not None and text != user_val:
+                    return False
+                if not (fsm._value_ok(f, text, partial=False) and text):
+                    return False
+                fsm._finish_value()
+                piece = after
+                continue
+            user_val = fsm.user.get(f)
+            if user_val is not None:
+                target = user_val[len(fsm.value_text):]
+                return target.startswith(piece)
+            return fsm._value_ok(f, fsm.value_text + piece, partial=True)
+        return True
 
     def _state_sig(self) -> tuple:
         """Content-based state signature: masks for equal signatures are equal,
@@ -289,6 +326,12 @@ class MetadataFSM:
         idx = piece_index(token_strs)
         if self.forced_text is not None:
             mask = idx.forced_mask(self.forced_text)
+            # pieces that extend BEYOND the forced text enter the next value
+            # span — validate the remainder (forced_mask alone over-allows)
+            for i in mask.nonzero()[0]:
+                p = token_strs[i]
+                if len(p) > len(self.forced_text) and not self.allowed_piece(p):
+                    mask[i] = False
         else:
             mask = np.fromiter(
                 (self.allowed_piece(t) for t in token_strs), dtype=bool,
@@ -326,6 +369,295 @@ class MetadataFSM:
     @property
     def done(self) -> bool:
         return self.mode == "done" and self.forced_text is None
+
+
+# ---------------------------------------------------------------------------
+# compiled token-level DFA (on-device FSM decode, VERDICT r4 item 3)
+#
+# The reference's logits processor precomputes per-state token-mask tables
+# (constrained_logits_processor.py:548-648) but still applies them host-side
+# per token.  Through the dev tunnel each host round-trip costs ~30 ms, so a
+# ~60-token metadata block costs ~2 s of pure dispatch.  The masks per FSM
+# state are STATIC sets, so the whole machine compiles ahead of time into
+#   masks  [S, ceil(V/32)] uint32   per-state allowed-token bitmask
+#   default_next [S] + exceptions [S, E] (token, next)  transition table
+# and the decode loop runs entirely inside one jitted while_loop
+# (serving/lm.py generate_with_fsm_device).  The free-text caption span
+# collapses to ONE state whose char budget is tracked by a device register
+# (cap_len[V] chars per token), exactly matching the host FSM's length rule.
+# ---------------------------------------------------------------------------
+
+
+class DFACompileError(ValueError):
+    """DFA exceeds its state/width budget or hit a dead state — caller falls
+    back to the host-stepped FSM."""
+
+
+@dataclasses.dataclass
+class CompiledDFA:
+    masks_packed: np.ndarray      # [S, W] uint32, W = ceil(V/32)
+    default_next: np.ndarray      # [S] int32
+    exc_tok: np.ndarray           # [S, E] int32, -1 padded
+    exc_next: np.ndarray          # [S, E] int32
+    exc_cap: np.ndarray           # [S, E] int32: caption chars carried by exc
+    is_caption: np.ndarray        # [S] bool
+    cap_len: np.ndarray           # [V] int32: chars before first \n (else len)
+    has_nl: np.ndarray            # [V] bool
+    max_caption_chars: int
+    start_state: int
+    done_state: int
+    n_states: int
+    vocab_size: int
+
+    def host_step(self, state: int, used: int, tok: int):
+        """Apply one transition host-side (mirrors the device body exactly):
+        returns (next_state, next_used)."""
+        hits = self.exc_tok[state] == tok
+        if hits.any():
+            j = int(hits.argmax())
+            return int(self.exc_next[state][j]), used + int(self.exc_cap[state][j])
+        delta = int(self.cap_len[tok]) if self.is_caption[state] else 0
+        return int(self.default_next[state]), used + delta
+
+    def host_mask(self, state: int, used_chars: int = 0) -> np.ndarray:
+        """Unpacked bool mask for ``state`` incl. the caption dynamic rule
+        (test/verification hook mirroring the device formula)."""
+        row = self.masks_packed[state]
+        v = np.arange(self.vocab_size)
+        mask = ((row[v // 32] >> (v % 32)) & 1).astype(bool)
+        if self.is_caption[state]:
+            capm = (used_chars + self.cap_len <= self.max_caption_chars) & (
+                ~self.has_nl | (used_chars + self.cap_len > 0)
+            )
+            mask = mask & capm
+        return mask
+
+
+def _dfa_clone(fsm: MetadataFSM) -> MetadataFSM:
+    c = object.__new__(MetadataFSM)
+    c.cfg = fsm.cfg
+    c.user = fsm.user
+    c.tries = fsm.tries
+    c.field_idx = fsm.field_idx
+    c.mode = fsm.mode
+    c.value_text = fsm.value_text
+    c.forced_text = fsm.forced_text
+    return c
+
+
+def _dfa_sig(fsm: MetadataFSM):
+    if fsm.done:
+        return "DONE"
+    f = fsm.current_field
+    if (f == "caption" and fsm.mode == "value" and fsm.forced_text is None
+            and fsm.user.get("caption") is None):
+        # caption content never changes the mask or the transitions — only
+        # the char budget does, and that lives in a device register
+        return ("CAP", fsm.field_idx)
+    return (fsm.field_idx, fsm.mode, fsm.forced_text, fsm.value_text)
+
+
+def _dfa_state_mask(fsm: MetadataFSM, vocab_strs, idx: PieceIndex,
+                    nl_ids, digit_ids) -> np.ndarray:
+    """fsm.allowed() without the O(V) python scan for value states: candidate
+    pieces are enumerated from the field's structure (digit pieces, trie
+    prefix extensions) and newline pieces checked individually, then each
+    candidate is validated through the SAME allowed_piece predicate."""
+    n = len(vocab_strs)
+    if fsm.forced_text is not None:
+        mask = idx.forced_mask(fsm.forced_text)
+        for i in mask.nonzero()[0]:
+            p = vocab_strs[i]
+            if len(p) > len(fsm.forced_text) and not fsm.allowed_piece(p):
+                mask[i] = False
+        return mask
+    f = fsm.current_field
+    mask = np.zeros(n, bool)
+    if f is None:
+        return mask
+    if f == "caption" and fsm.user.get("caption") is None:
+        # compile-time: every non-empty piece; budget + nonempty-end rules are
+        # the device-side dynamic term (host_mask/device apply identically).
+        # newline pieces additionally need their TRAILING segments validated
+        # (content-independent): simulate with a nonempty dummy value and an
+        # unbounded budget so only the trailing-text check remains
+        mask = idx.nonempty.copy()
+        sim = _dfa_clone(fsm)
+        sim.cfg = dataclasses.replace(fsm.cfg, max_caption_chars=1 << 30)
+        sim.value_text = "x"
+        for i in nl_ids:
+            if mask[i] and not sim.allowed_piece(vocab_strs[i]):
+                mask[i] = False
+        return mask
+    candidates: Set[int] = set()
+    user_val = fsm.user.get(f)
+    if user_val is not None:
+        target = user_val[len(fsm.value_text):]
+        for i in idx.forced_mask(target).nonzero()[0]:
+            candidates.add(int(i))
+    elif f in FIELD_RANGES:
+        candidates.update(digit_ids)
+    elif f in fsm.tries:
+        p = fsm.value_text
+        for r in fsm.tries[f].prefixes:
+            if r.startswith(p) and len(r) > len(p):
+                for i in idx.by_piece.get(r[len(p):], ()):
+                    candidates.add(int(i))
+    candidates.update(nl_ids)
+    for i in candidates:
+        if idx.nonempty[i] and fsm.allowed_piece(vocab_strs[i]):
+            mask[i] = True
+    return mask
+
+
+def compile_dfa(
+    vocab_strs: Sequence[str],
+    cfg: Optional[FSMConfig] = None,
+    user_metadata: Optional[Dict[str, object]] = None,
+    max_states: int = 4096,
+    max_exceptions: int = 2048,
+) -> CompiledDFA:
+    """BFS the reachable FSM states into mask + transition tables.
+
+    Raises DFACompileError when the machine exceeds the budget (huge genres
+    vocab / adversarial user metadata) — the caller then uses the host path."""
+    fsm0 = MetadataFSM(cfg, user_metadata=user_metadata)
+    v = len(vocab_strs)
+    idx = piece_index(vocab_strs)
+    nl_ids = [i for i, p in enumerate(vocab_strs) if "\n" in p]
+    digit_ids = [i for i, p in enumerate(vocab_strs)
+                 if p and p.isdigit() and p.isascii()]
+    cap_len = np.array(
+        [len(p.split("\n", 1)[0]) for p in vocab_strs], np.int32)
+    has_nl = np.zeros(v, bool)
+    has_nl[nl_ids] = True
+
+    states: Dict[object, int] = {}
+    order: List[MetadataFSM] = []
+
+    def state_id(fsm: MetadataFSM) -> int:
+        sig = _dfa_sig(fsm)
+        sid = states.get(sig)
+        if sid is None:
+            if len(order) >= max_states:
+                raise DFACompileError(
+                    f"DFA exceeds {max_states} states (genres vocab too "
+                    "large or adversarial user metadata)")
+            sid = len(order)
+            states[sig] = sid
+            order.append(_dfa_clone(fsm))
+        return sid
+
+    start = state_id(fsm0)
+    masks: List[np.ndarray] = []
+    transitions: List[Dict[int, int]] = []
+    is_cap: List[bool] = []
+    i = 0
+    while i < len(order):
+        fsm = order[i]
+        if fsm.done:
+            masks.append(np.zeros(v, bool))
+            transitions.append({})
+            is_cap.append(False)
+            i += 1
+            continue
+        mask = _dfa_state_mask(fsm, vocab_strs, idx, nl_ids, digit_ids)
+        cap_state = _dfa_sig(fsm)[0] == "CAP" if isinstance(_dfa_sig(fsm), tuple) else False
+        # dead states (no token keeps the output valid — e.g. a forced-text
+        # overshoot fed garbage into a numeric field) are reachable by bad
+        # sampling choices; the host loop breaks there, so the DFA marks them
+        # absorbing with an empty mask and the device loop stops identically.
+        # trans: token -> (next_state, caption_chars_carried): a token that
+        # overshoots the "caption: " forced text carries its remainder into
+        # the caption value — the device char register must count those chars
+        trans: Dict[int, Tuple[int, int]] = {}
+        if cap_state:
+            # self-loop on every non-newline piece (default, carry=cap_len);
+            # only newline pieces leave (carry irrelevant after leaving)
+            for t in nl_ids:
+                if mask[t]:
+                    nxt = _dfa_clone(fsm)
+                    nxt.value_text = "x"    # content-free: any nonempty text
+                    nxt.step(vocab_strs[t])
+                    trans[t] = (state_id(nxt), 0)
+        else:
+            for t in mask.nonzero()[0]:
+                nxt = _dfa_clone(fsm)
+                nxt.step(vocab_strs[int(t)])
+                sig = _dfa_sig(nxt)
+                carry = (len(nxt.value_text)
+                         if isinstance(sig, tuple) and sig[0] == "CAP" else 0)
+                trans[int(t)] = (state_id(nxt), carry)
+        masks.append(mask)
+        transitions.append(trans)
+        is_cap.append(cap_state)
+        i += 1
+
+    s = len(order)
+    done_state = states.get("DONE")
+    if done_state is None:
+        raise DFACompileError("done state unreachable")
+
+    default_next = np.zeros(s, np.int32)
+    exc_rows: List[List[Tuple[int, int, int]]] = []
+    for sid, trans in enumerate(transitions):
+        if is_cap[sid]:
+            default_next[sid] = sid          # caption self-loop (carry=cap_len)
+            exc_rows.append(sorted((t, nx, cc) for t, (nx, cc) in trans.items()))
+        elif not trans:
+            default_next[sid] = sid          # absorbing (done)
+            exc_rows.append([])
+        else:
+            # default = most common carry-free successor; nonzero-carry
+            # transitions ALWAYS become exceptions (the default path cannot
+            # encode their caption-char delta)
+            counts: Dict[int, int] = {}
+            for nxt, cc in trans.values():
+                if cc == 0:
+                    counts[nxt] = counts.get(nxt, 0) + 1
+            default = max(counts, key=counts.get) if counts else -1
+            default_next[sid] = default if default >= 0 else sid
+            exc_rows.append(sorted(
+                (t, nx, cc) for t, (nx, cc) in trans.items()
+                if nx != default or cc != 0))
+    e = max((len(r) for r in exc_rows), default=0)
+    if e > max_exceptions:
+        raise DFACompileError(f"exception width {e} > {max_exceptions}")
+    e = max(e, 1)
+    exc_tok = np.full((s, e), -1, np.int32)
+    exc_next = np.zeros((s, e), np.int32)
+    exc_cap = np.zeros((s, e), np.int32)
+    for sid, row in enumerate(exc_rows):
+        for j, (t, nx, cc) in enumerate(row):
+            exc_tok[sid, j] = t
+            exc_next[sid, j] = nx
+            exc_cap[sid, j] = cc
+
+    w = (v + 31) // 32
+    packed = np.zeros((s, w), np.uint32)
+    for sid, mask in enumerate(masks):
+        bits = np.zeros(w * 32, bool)
+        bits[:v] = mask
+        packed[sid] = np.packbits(
+            bits.reshape(w, 32), axis=1, bitorder="little"
+        ).view(np.uint32).reshape(w)
+
+    fsm_cfg = fsm0.cfg
+    return CompiledDFA(
+        masks_packed=packed,
+        default_next=default_next,
+        exc_tok=exc_tok,
+        exc_next=exc_next,
+        exc_cap=exc_cap,
+        is_caption=np.asarray(is_cap, bool),
+        cap_len=cap_len,
+        has_nl=has_nl,
+        max_caption_chars=fsm_cfg.max_caption_chars,
+        start_state=start,
+        done_state=done_state,
+        n_states=s,
+        vocab_size=v,
+    )
 
 
 def fsm_generate_text(

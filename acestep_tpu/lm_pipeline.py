@@ -673,8 +673,21 @@ class LMPipeline:
 
         prompt = build_formatted_prompt(caption, lyrics, generation_phase="cot")
         ids = self.tok.encode(prompt)
-        fsm = MetadataFSM(FSMConfig(), user_metadata=user_metadata or {})
         vocab_strs = self.vocab_strs()
+        # on-device DFA path (default; the host-stepped FSM costs one ~30 ms
+        # round-trip per token through the dev tunnel): compiled per
+        # (vocab, genres, user-metadata) and cached; any compile overflow
+        # (huge genres vocab) falls back to the host path below
+        if self.tp_ctx is None and os.environ.get(
+                "ACESTEP_TPU_DEVICE_FSM", "1") != "0":
+            dfa = self._compiled_dfa(vocab_strs, user_metadata)
+            if dfa is not None:
+                out_ids, text = lm_serving.generate_with_fsm_device(
+                    self.params, self.cfg, ids, dfa, vocab_strs, key,
+                    temperature=temperature, max_new_tokens=max_cot_tokens,
+                )
+                return f"<think>\n{text.strip()}\n</think>"
+        fsm = MetadataFSM(FSMConfig(), user_metadata=user_metadata or {})
         fsm_kw = {}
         if self.tp_ctx is not None:
             fsm_kw = dict(prefill_fn=self.tp_ctx.prefill,
@@ -685,6 +698,36 @@ class LMPipeline:
         )
         body = text.strip()
         return f"<think>\n{body}\n</think>"
+
+    def _compiled_dfa(self, vocab_strs, user_metadata):
+        """Cached compile_dfa keyed by (vocab, genres content, user metadata);
+        returns None when the machine exceeds the budget (host fallback)."""
+        from acestep_tpu.constrained import (DFACompileError, FSMConfig,
+                                             compile_dfa)
+
+        cfg = FSMConfig()
+        key = (
+            id(vocab_strs), len(vocab_strs),
+            hash(tuple(cfg.genres_vocab)),
+            tuple(sorted((k, str(v)) for k, v in (user_metadata or {}).items())),
+        )
+        cache = getattr(self, "_dfa_cache", None)
+        if cache is None:
+            cache = self._dfa_cache = {}
+        if key in cache:
+            return cache[key]
+        try:
+            dfa = compile_dfa(vocab_strs, cfg, user_metadata=user_metadata or {})
+        except DFACompileError as e:
+            import warnings
+
+            warnings.warn(f"device FSM unavailable ({e}); using host FSM",
+                          stacklevel=2)
+            dfa = None
+        if len(cache) > 16:
+            cache.clear()
+        cache[key] = dfa
+        return dfa
 
     def vocab_strs(self) -> List[str]:
         """Token id -> string piece for the whole vocab (FSM masking)."""
