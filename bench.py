@@ -109,6 +109,25 @@ def main():
         "condition_s": round(res.time_costs["condition_time_cost"], 4),
         "vae_overlapped": bool(res.time_costs.get("vae_overlapped")),
     }
+    # per-phase roofline (VERDICT r4 item 2): achieved GB/s + TFLOP/s against
+    # the chip's HBM/MXU peaks, from the fenced run's phase times and the
+    # analytic byte/FLOP accounting (acestep_tpu.roofline)
+    try:
+        from acestep_tpu import roofline as R
+        from acestep_tpu.pipeline import bucket_frames, frames_for_duration
+
+        frames = bucket_frames(frames_for_duration(duration_s))
+        dit_pt = R.RooflinePoint(
+            phase="dit_step", chip=R.detect_chip(),
+            time_s=res.time_costs["diffusion_time_cost"] / 8,
+            bytes_=R.dit_step_weight_bytes(engine.dit_params),
+            flops=R.dit_step_flops(engine.dit_cfg, frames, 320),
+        )
+        detail["roofline_dit_step"] = dit_pt.summary()
+        detail["latents_per_s_chip"] = round(frames / value, 1)
+        result["latents_per_s_chip"] = detail["latents_per_s_chip"]
+    except Exception as e:   # roofline is reporting, never a bench failure
+        detail["roofline_error"] = str(e)
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps(result))
 
