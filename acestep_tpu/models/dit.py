@@ -224,10 +224,11 @@ def _self_attention(
     v = v.transpose(0, 2, 1, 3)
     q, k = apply_rope(q, k, cos, sin)
     out = attn_fn(q, k, v).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    out = linear(out, p["o_proj"]["kernel"])
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out
+        from acestep_tpu.parallel.collective_matmul import row_parallel_linear
+
+        return row_parallel_linear(out, p["o_proj"]["kernel"], axis_name)
+    return linear(out, p["o_proj"]["kernel"])
 
 
 def _make_self_attn_fns(cfg: DiTConfig, seq_len: int, kv_valid):
@@ -312,10 +313,11 @@ def _cross_attention(
     q = rms_norm(q, p["q_norm"], cfg.rms_norm_eps).transpose(0, 2, 1, 3)
     k, v = kv
     out = attention(q, k, v, mask=mask).transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    out = linear(out, p["o_proj"]["kernel"])
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out
+        from acestep_tpu.parallel.collective_matmul import row_parallel_linear
+
+        return row_parallel_linear(out, p["o_proj"]["kernel"], axis_name)
+    return linear(out, p["o_proj"]["kernel"])
 
 
 def _mlp(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
@@ -329,21 +331,12 @@ def _mlp(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
         up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
     if axis_name is not None:
-        from acestep_tpu.parallel.collective_matmul import (
-            allreduce_matmul, collective_matmul_enabled)
+        # ICI-overlapped ring all-reduce matmul (scaling-book collective
+        # matmul) under the flag: chunked dots overlap the ppermute hops
+        # instead of one monolithic dot followed by a blocking psum.
+        from acestep_tpu.parallel.collective_matmul import row_parallel_linear
 
-        if collective_matmul_enabled():
-            # ICI-overlapped ring all-reduce matmul (scaling-book collective
-            # matmul): chunked dots overlap the ppermute hops instead of one
-            # monolithic dot followed by a blocking psum.  bf16 weight path.
-            w = p["down_proj"]["kernel"]
-            if not isinstance(w, jax.Array):
-                from acestep_tpu.ops.qlinear import dequantize
-
-                w = dequantize(w, dtype=jnp.bfloat16)
-            return allreduce_matmul(act, w, axis_name)
-        out = linear(act, p["down_proj"]["kernel"])
-        return jax.lax.psum(out, axis_name)
+        return row_parallel_linear(act, p["down_proj"]["kernel"], axis_name)
     return linear(act, p["down_proj"]["kernel"])
 
 

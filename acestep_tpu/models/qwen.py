@@ -106,10 +106,11 @@ def attention_block(
     q, k = apply_rope(q, k, cos, sin)
     out = attention(q, k, v, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
-    out = linear(out, p["o_proj"]["kernel"])
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out
+        from acestep_tpu.parallel.collective_matmul import row_parallel_linear
+
+        return row_parallel_linear(out, p["o_proj"]["kernel"], axis_name)
+    return linear(out, p["o_proj"]["kernel"])
 
 
 def mlp_block(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.Array:
@@ -126,10 +127,11 @@ def mlp_block(p: Params, x: jax.Array, axis_name: Optional[str] = None) -> jax.A
         gate = linear(x, p["gate_proj"]["kernel"])
         up = linear(x, p["up_proj"]["kernel"])
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-    out = linear(act, p["down_proj"]["kernel"])
     if axis_name is not None:
-        out = jax.lax.psum(out, axis_name)
-    return out
+        from acestep_tpu.parallel.collective_matmul import row_parallel_linear
+
+        return row_parallel_linear(act, p["down_proj"]["kernel"], axis_name)
+    return linear(act, p["down_proj"]["kernel"])
 
 
 def stack_params(params: Params) -> Params:
@@ -207,8 +209,17 @@ def lm_logits(
     if head is not None:
         logits = linear(hidden, head["kernel"])
         if axis_name is not None:
-            logits = jax.lax.all_gather(
-                logits, axis_name, axis=logits.ndim - 1, tiled=True)
+            from acestep_tpu.parallel.collective_matmul import (
+                allgather_chunks, collective_matmul_enabled)
+
+            if collective_matmul_enabled():
+                # ring all-gather of the per-rank vocab chunks: n-1 ppermute
+                # hops that XLA's latency-hiding scheduler can overlap with
+                # the sampler's softmax prologue, vs one blocking all-gather
+                logits = allgather_chunks(logits, axis_name)
+            else:
+                logits = jax.lax.all_gather(
+                    logits, axis_name, axis=logits.ndim - 1, tiled=True)
         # serving pads the head's vocab axis to a lane multiple (serving/lm.py
         # ensure_quantized_head); drop the pad columns
         if logits.shape[-1] != cfg.vocab_size:

@@ -105,3 +105,27 @@ def collective_matmul_enabled() -> bool:
     import os
 
     return os.environ.get("ACESTEP_TPU_COLLECTIVE_MATMUL", "0") == "1"
+
+
+def row_parallel_linear(x: jax.Array, w, axis_name: str) -> jax.Array:
+    """Drop-in for ``psum(linear(x, w), axis_name)`` on row-parallel
+    projections (attention o_proj, MLP down_proj — every TP site that ends in
+    an all-reduce, nano-vllm linear.py:126-152).
+
+    Routes through the ring collective matmul when the flag is on and the
+    weight permits it: a plain or block-quantized 2-D weight (dequantized to
+    bf16 — the ring path re-chunks the output axis, which the packed quant
+    layouts cannot slice) whose output axis divides the TP size.  Scan-stacked
+    weights (``StackedWeight``) and non-divisible shapes keep the monolithic
+    matmul + blocking psum."""
+    from acestep_tpu.ops import qlinear
+    from acestep_tpu.quant.formats import QuantTensor, dequantize
+
+    if collective_matmul_enabled():
+        wd = w
+        if isinstance(wd, QuantTensor):
+            wd = dequantize(wd, dtype=jnp.bfloat16)
+        if isinstance(wd, jax.Array) and wd.ndim == 2 \
+                and wd.shape[-1] % _axis_size(axis_name) == 0:
+            return allreduce_matmul(x, wd, axis_name)
+    return jax.lax.psum(qlinear.linear(x, w), axis_name)

@@ -1,21 +1,43 @@
-"""INT8 KV cache for the LM planner (BASELINE.json north star: INT8/FP8 KV).
+"""INT8/FP8 KV cache for the LM planner (BASELINE.json north star: INT8/FP8 KV).
 
 Layout is TPU-friendly dense + length-bucketed (the reference's nano-vllm uses
 256-token paged blocks on GPU, block_manager.py:36-136; TPU prefers static dense
 buffers — bucketing replaces paging, prefix reuse comes later).
 
-K/V are stored per (layer, batch, kv_head, position) as int8 with a per-vector
-f32 scale: q = round(x / s), s = amax/127.  Dequantized lazily in attention.
+K/V are stored per (layer, batch, kv_head, position) as int8 (default) or
+float8_e4m3fn (``ACESTEP_TPU_KV_DTYPE=fp8`` — pays on v5p/v6e whose MXUs take
+fp8 operands natively) with a per-vector f32 scale: int8 q = round(x/s),
+s = amax/127; fp8 q = cast(x/s), s = amax/448 (e4m3fn full scale).  Both
+dequantize as q*s lazily in attention; the scale-folded attention math in
+serving/lm.py is dtype-agnostic (cache values cast exactly into bf16 either
+way).  The pallas decode kernels stream int8 specifically, so fp8 routes
+decode through the XLA scan path (serving/lm.py gates).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+_FP8_MAX = 448.0                     # float8_e4m3fn largest finite value
+
+
+def kv_dtype_name() -> str:
+    """'int8' (default) or 'fp8' from ACESTEP_TPU_KV_DTYPE."""
+    d = os.environ.get("ACESTEP_TPU_KV_DTYPE", "int8").lower()
+    if d not in ("int8", "fp8"):
+        raise ValueError(
+            f"ACESTEP_TPU_KV_DTYPE={d!r}: expected 'int8' or 'fp8'")
+    return d
+
+
+def kv_store_dtype():
+    return jnp.int8 if kv_dtype_name() == "int8" else jnp.float8_e4m3fn
 
 
 @partial(
@@ -50,9 +72,10 @@ def round_len(n: int, mult: int = 128) -> int:
 def init_cache(
     n_layers: int, batch: int, n_kv: int, max_len: int, head_dim: int
 ) -> KVCache:
+    qt = kv_store_dtype()
     return KVCache(
-        k=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), jnp.int8),
-        v=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), jnp.int8),
+        k=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), qt),
+        v=jnp.zeros((n_layers, batch, n_kv, max_len, head_dim), qt),
         k_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
         v_scale=jnp.zeros((n_layers, batch, n_kv, max_len), jnp.float32),
         length=jnp.zeros((batch,), jnp.int32),
@@ -60,9 +83,17 @@ def init_cache(
 
 
 def quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """[..., D] -> (int8 values, f32 scale over last dim)."""
+    """[..., D] -> (int8/fp8 values, f32 scale over last dim)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
+    if kv_dtype_name() == "fp8":
+        # normalize to e4m3fn full scale; fp8 keeps a mantissa (vs int8's
+        # uniform grid) so small-magnitude components lose less precision
+        scale = amax / _FP8_MAX
+        inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+        q = jnp.clip(xf * inv[..., None], -_FP8_MAX, _FP8_MAX).astype(
+            jnp.float8_e4m3fn)
+        return q, scale
     scale = amax / 127.0
     inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
     q = jnp.clip(jnp.round(xf * inv[..., None]), -127, 127).astype(jnp.int8)

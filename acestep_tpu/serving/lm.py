@@ -40,11 +40,28 @@ def _psum(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
 
+def _row_parallel(x: jax.Array, w, axis_name: Optional[str]) -> jax.Array:
+    """Row-parallel projection ending in an all-reduce (o_proj under TP):
+    ring collective matmul when ACESTEP_TPU_COLLECTIVE_MATMUL=1, else
+    matmul + psum (no-op reduce outside shard_map)."""
+    if axis_name is None:
+        return linear(x, w)
+    from acestep_tpu.parallel.collective_matmul import row_parallel_linear
+
+    return row_parallel_linear(x, w, axis_name)
+
+
 def _gather_cols(x: jax.Array, axis_name: Optional[str]) -> jax.Array:
     """Re-assemble column-sharded logits: tiled all_gather along the last axis
-    (shards are contiguous column blocks, so vocab order is preserved)."""
+    (shards are contiguous column blocks, so vocab order is preserved).  Under
+    the collective-matmul flag the gather rides the ring (n-1 ppermute hops)."""
     if axis_name is None:
         return x
+    from acestep_tpu.parallel.collective_matmul import (
+        allgather_chunks, collective_matmul_enabled)
+
+    if collective_matmul_enabled():
+        return allgather_chunks(x, axis_name)
     return jax.lax.all_gather(x, axis_name, axis=x.ndim - 1, tiled=True)
 
 
@@ -181,6 +198,8 @@ def _pallas_decode_attn(t_max: int, nh: int, nkv: int, hd: int):
         return None
     if hd % 128 != 0 or nkv == 0 or nh % nkv != 0 or t_max % 128 != 0:
         return None
+    if kvc.kv_dtype_name() != "int8":       # kernel streams int8 KV chunks
+        return None
     on_tpu = jax.default_backend() in ("tpu", "axon")
     from acestep_tpu.ops.pallas.decode_attn import decode_attention_int8_stacked
 
@@ -200,6 +219,8 @@ def _pallas_decode_attn_fused(t_max: int, nh: int, nkv: int, hd: int, eps: float
     if _os.environ.get("ACESTEP_TPU_DECODE_ATTN", "auto") != "fused":
         return None
     if hd % 128 != 0 or nkv == 0 or nh % nkv != 0 or t_max % 128 != 0:
+        return None
+    if kvc.kv_dtype_name() != "int8":       # kernel streams int8 KV chunks
         return None
     on_tpu = jax.default_backend() in ("tpu", "axon")
     from acestep_tpu.ops.pallas.decode_attn import decode_attention_fused_stacked
@@ -290,7 +311,7 @@ def prefill(
         vq, vs = kvc.quantize_kv(v)
         attn = attention(q, k, v, mask=mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+        x = x + _row_parallel(attn, p["o_proj"]["kernel"], axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq, ks, vq, vs)
@@ -378,7 +399,7 @@ def decode_step(
         vs_l = vs_l.at[bidx, :, cache.length].set(vs_new)
         attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+        x = x + _row_parallel(attn, p["o_proj"]["kernel"], axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)
@@ -392,6 +413,7 @@ def decode_step(
         mega_env != "0"
         and (mega_env == "1" or jax.default_backend() in ("tpu", "axon"))
         and axis_name is None and _layers_stacked(params)
+        and kvc.kv_dtype_name() == "int8"   # megakernel streams int8 KV
     )
     if use_mega:
         from acestep_tpu.ops.pallas.decode_mega import (
@@ -462,7 +484,7 @@ def decode_step(
                     cache.k, cache.k_scale, cache.v, cache.v_scale,
                     cache.length, li)
                 attn = out.astype(x.dtype).reshape(b, 1, nh * hd)
-                x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+                x = x + _row_parallel(attn, p["o_proj"]["kernel"], axis_name)
                 hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
                 x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
                 return x, (kq_new, ks_new, vq_new, vs_new)
@@ -485,7 +507,7 @@ def decode_step(
                 attn = attention_int8_self(
                     q, kq_l, ks_l, vq_l, vs_l, bias_strict, k_self, v_self)
                 attn = attn.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
-            x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+            x = x + _row_parallel(attn, p["o_proj"]["kernel"], axis_name)
             hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
             x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
             return x, (kq_new, ks_new, vq_new, vs_new)
@@ -1181,7 +1203,7 @@ def extend_prefill(
         vs_l = vs_l.at[bidx[:, None, :], hidx, tw].set(vs, mode="drop")
         attn = attention_int8(q, kq_l, ks_l, vq_l, vs_l, cache_bias)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t2, nh * hd)
-        x = x + _psum(linear(attn, p["o_proj"]["kernel"]), axis_name)
+        x = x + _row_parallel(attn, p["o_proj"]["kernel"], axis_name)
         hn = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
         x = x + qwen.mlp_block(p, hn, axis_name=axis_name)
         return x, (kq_l, ks_l, vq_l, vs_l)

@@ -28,6 +28,8 @@ KNOBS = {
     "sampler_mode": ("ACESTEP_TPU_SAMPLER", str, "scan"),          # scan | step
     "qmm_backend": ("ACESTEP_TPU_QMM_BACKEND", str, "auto"),       # auto | xla | pallas
     "int8_act": ("ACESTEP_TPU_INT8_ACT", bool, False),
+    "kv_dtype": ("ACESTEP_TPU_KV_DTYPE", str, "int8"),             # int8 | fp8
+
     "stacked_weights": ("ACESTEP_TPU_STACKED_W", str, None),       # 0|1 forces; default per call site
     "blocked_attn_min": ("ACESTEP_TPU_BLOCKED_ATTN_MIN", int, 1536),
     "vae_window_batch": ("ACESTEP_TPU_VAE_WINDOW_BATCH", int, None),
