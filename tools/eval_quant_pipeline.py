@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--formats", default="q8_0,q4_0,q4_k,q6_k")
     ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--clap-ckpt", default=None,
+                    help="local transformers-format CLAP checkpoint dir; adds "
+                         "clap/clap_delta columns (BASELINE.json's metric). "
+                         "Falls back to ACESTEP_TPU_CLAP_CKPT; skipped when "
+                         "absent")
+    ap.add_argument("--caption", default="an energetic electronic track with "
+                    "driving synths", help="caption the CLAP gate scores "
+                    "the audio against")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +71,11 @@ def main():
         seeds=[args.seed],
     )
 
+    from acestep_tpu.eval_clap import load_scorer
+
+    clap = load_scorer(args.clap_ckpt)
+    if clap is None and args.clap_ckpt:
+        sys.exit(1)                                 # an explicit ckpt must load
     rows = []
 
     def run(name, dit_p, text_p):
@@ -83,7 +96,9 @@ def main():
         return wav, lat, infer_s
 
     fp_wav, fp_lat, fp_s = run("fp_bf16", fp_dit, fp_text)
-    rows.append(("fp_bf16", fp_s, None, None))
+    sr = VAEConfig().sampling_rate
+    fp_clap = clap.score(args.caption, fp_wav, sr) if clap else None
+    rows.append(("fp_bf16", fp_s, None, None, fp_clap, None))
 
     for fmt in args.formats.split(","):
         import gc
@@ -99,24 +114,31 @@ def main():
         a = fp_lat.astype(np.float64).ravel()
         b = lat.astype(np.float64).ravel()
         lat_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
-        rows.append((fmt, infer_s, m, lat_cos))
+        c = clap.score(args.caption, wav, sr) if clap else None
+        rows.append((fmt, infer_s, m, lat_cos, c,
+                     None if c is None else c - fp_clap))
 
-    lines = ["| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |",
-             "|---|---:|---:|---:|---:|---:|---:|---:|"]
-    for name, infer_s, m, lat_cos in rows:
+    clap_cols = " clap | clap_delta |" if clap else ""
+    lines = [f"| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |{clap_cols}",
+             "|---|---:|---:|---:|---:|---:|---:|---:|" + ("---:|---:|" if clap else "")]
+    for name, infer_s, m, lat_cos, c, cd in rows:
+        tail = "" if not clap else (
+            f" {c:.4f} | {'—' if cd is None else format(cd, '+.4f')} |")
         if m is None:
-            lines.append(f"| {name} | {infer_s:.3f} | — | — | — | — | — | — |")
+            lines.append(f"| {name} | {infer_s:.3f} | — | — | — | — | — | — |{tail}")
         else:
             lines.append(
                 f"| {name} | {infer_s:.3f} | {lat_cos:.6f} | {m['mae']:.6f} | {m['rmse']:.6f} "
-                f"| {m['cosine']:.6f} | {m['snr_db']:.2f} | {m['lsd']:.4f} |")
+                f"| {m['cosine']:.6f} | {m['snr_db']:.2f} | {m['lsd']:.4f} |{tail}")
     summary = "\n".join(lines)
     with open(os.path.join(args.out, "summary.md"), "w") as f:
         f.write(f"# Quant eval — {args.duration:.0f}s clip, seed {args.seed}\n\n"
                 f"(random-weight engine; metrics vs the fp_bf16 output)\n\n{summary}\n")
     print(summary)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump([{"variant": n, "infer_s": s, "metrics": m} for n, s, m in rows], f, indent=2)
+        json.dump([{"variant": n, "infer_s": s, "metrics": m,
+                    "clap": c, "clap_delta": cd}
+                   for n, s, m, _lc, c, cd in rows], f, indent=2)
 
 
 if __name__ == "__main__":

@@ -360,8 +360,18 @@ def phase_eval(out: str, report_dir: str) -> None:
         gc.collect()
         return wav, lat, infer_s
 
+    # pluggable CLAP gate (BASELINE.json metric "CLAP-score Δ vs FP16"):
+    # active only when ACESTEP_TPU_CLAP_CKPT (or --clap-ckpt upstream) names a
+    # local checkpoint — no CLAP ships in this image
+    from acestep_tpu.eval_clap import load_scorer
+
+    clap = load_scorer(None)
+    clap_caption = "an energetic electronic track with driving synths"
+
     fp_wav, fp_lat, fp_s = run("fp_bf16", fp_dit)
-    rows.append({"variant": "fp_bf16", "infer_s": fp_s})
+    fp_clap = (clap.score(clap_caption, fp_wav, vae_cfg.sampling_rate)
+               if clap else None)
+    rows.append({"variant": "fp_bf16", "infer_s": fp_s, "clap": fp_clap})
     q8_lat = None
     for fmt in ("q8_0", "q4_0", "q4_k", "q6_k"):
         q_dit = quantize_tree_jax(fp_dit, fmt)
@@ -371,7 +381,11 @@ def phase_eval(out: str, report_dir: str) -> None:
         b = lat.astype(np.float64).ravel()
         m["latent_cos"] = float(
             a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
-        rows.append({"variant": fmt, "infer_s": infer_s, "metrics": m})
+        row = {"variant": fmt, "infer_s": infer_s, "metrics": m}
+        if clap:
+            row["clap"] = clap.score(clap_caption, wav, vae_cfg.sampling_rate)
+            row["clap_delta"] = row["clap"] - fp_clap
+        rows.append(row)
         if fmt == "q8_0":
             q8_lat = lat
 
@@ -391,19 +405,23 @@ def phase_eval(out: str, report_dir: str) -> None:
             m = waveform_metrics(wavs[0], wavs[1])
             decoder_rows.append({"decoder": dec_name, "metrics": m})
 
+    clap_hdr = " clap | clap_delta |" if clap else ""
     lines = [
-        "| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |",
-        "|---|---:|---:|---:|---:|---:|---:|---:|",
+        f"| variant | infer_s | latent_cos | mae | rmse | cosine | snr_db | lsd |{clap_hdr}",
+        "|---|---:|---:|---:|---:|---:|---:|---:|" + ("---:|---:|" if clap else ""),
     ]
     for r in rows:
         m = r.get("metrics")
+        tail = "" if not clap else (
+            f" {r['clap']:.4f} | "
+            f"{format(r['clap_delta'], '+.4f') if 'clap_delta' in r else '—'} |")
         if m is None:
-            lines.append(f"| {r['variant']} | {r['infer_s']:.3f} | — | — | — | — | — | — |")
+            lines.append(f"| {r['variant']} | {r['infer_s']:.3f} | — | — | — | — | — | — |{tail}")
         else:
             lines.append(
                 f"| {r['variant']} | {r['infer_s']:.3f} | {m['latent_cos']:.6f} "
                 f"| {m['mae']:.6f} | {m['rmse']:.6f} | {m['cosine']:.6f} "
-                f"| {m['snr_db']:.2f} | {m['lsd']:.4f} |")
+                f"| {m['snr_db']:.2f} | {m['lsd']:.4f} |{tail}")
     summary = "\n".join(lines)
     if decoder_rows:
         summary += (
