@@ -8,6 +8,9 @@ Endpoints (reference routes, api_server.py:2249-2805):
   GET  /v1/stats              job-store stats (api_server.py:2592)
   POST /create_random_sample  LM inspiration flow
   POST /format_input          LM rewrite flow
+  GET  /v1/jobs               newest-first job summaries (results management)
+  POST /v1/jobs/delete        drop a job from the store
+  POST /v1/jobs/requeue       resubmit a job's original payload as a new job
 
 Job store: in-memory with TTL cleanup (api_server.py:604-727), single worker
 thread draining a FIFO queue (generation is serialized per engine the same way
@@ -81,6 +84,12 @@ class JobStore:
             for v in self._jobs.values():
                 by_status[v["status"]] = by_status.get(v["status"], 0) + 1
         return {**self.stats, **{f"jobs_{k}": n for k, n in by_status.items()}}
+
+    def delete(self, task_id: str) -> bool:
+        """Drop a job (results-management delete; running jobs keep executing
+        — the worker's update() on a deleted id is a no-op)."""
+        with self._lock:
+            return self._jobs.pop(task_id, None) is not None
 
     def list(self, limit: int = 50) -> list:
         """Newest-first job summaries for results management (no audio payload
@@ -465,6 +474,21 @@ class ApiServer:
                     task_id = server.store.create(body)
                     server._queue.put(task_id)
                     return self._send(200, {"task_id": task_id, "status": "queued"})
+                if self.path == "/v1/jobs/delete":
+                    ok = server.store.delete(body.get("task_id", ""))
+                    return self._send(200 if ok else 404,
+                                      {"deleted": ok} if ok
+                                      else {"error": "unknown task_id"})
+                if self.path == "/v1/jobs/requeue":
+                    # results-management re-run: resubmit the ORIGINAL payload
+                    # as a fresh job (new seed unless the payload pinned one)
+                    job = server.store.get(body.get("task_id", ""))
+                    if job is None:
+                        return self._send(404, {"error": "unknown task_id"})
+                    payload = dict(job.get("payload") or {})
+                    new_id = server.store.create(payload)
+                    server._queue.put(new_id)
+                    return self._send(200, {"task_id": new_id, "status": "queued"})
                 if self.path == "/query_result":
                     task_id = body.get("task_id", "")
                     job = server.store.get(task_id)

@@ -25,7 +25,8 @@ def default_trainer_factory(payload: Dict[str, Any]):
     Expected payload keys: ``dataset_dir`` (build_dataset output),
     ``checkpoint_dir`` (converted DiT checkpoint: loader.load_params layout +
     config.json), ``output_dir``; optional lr / total_steps / batch_size /
-    mode (lora|full) / lora_rank / lora_alpha / shift / seed / resume.
+    mode (lora|lokr|full) / lora_rank / lora_alpha / lokr_factor / shift /
+    seed / resume.
     """
     import json
     import os
@@ -60,6 +61,7 @@ def default_trainer_factory(payload: Dict[str, Any]):
         mode=str(payload.get("mode", "lora")),
         lora_rank=int(payload.get("lora_rank", 16)),
         lora_alpha=float(payload.get("lora_alpha", 16.0)),
+        lokr_factor=int(payload.get("lokr_factor", 8)),
         shift=float(payload.get("shift", 3.0)),
         checkpoint_every=int(payload.get("checkpoint_every", 200)),
     )

@@ -34,7 +34,8 @@ class TrainConfig:
     clip_norm: float = 1.0
     lora_rank: int = 16
     lora_alpha: float = 16.0
-    mode: str = "lora"                  # lora | full
+    lokr_factor: int = 8                # kron factorization target (mode=lokr)
+    mode: str = "lora"                  # lora | lokr | full
     shift: float = 3.0
     checkpoint_every: int = 200
     log_every: int = 10
@@ -68,9 +69,22 @@ class Trainer:
                 base_params, cfg, self.opt, alpha=train_cfg.lora_alpha,
                 shift=train_cfg.shift,
             )
-        else:
+        elif train_cfg.mode == "lokr":
+            # kron-factored adapter (reference training tab's LoKR mode,
+            # gradio_ui/events/training_handlers.py:871-967)
+            from acestep_tpu.training.lokr import init_lokr, make_lokr_train_step
+
+            self.trainable = init_lokr(key, base_params,
+                                       factor=train_cfg.lokr_factor)
+            self.step_fn = make_lokr_train_step(
+                base_params, cfg, self.opt, alpha=train_cfg.lora_alpha,
+                shift=train_cfg.shift,
+            )
+        elif train_cfg.mode == "full":
             self.trainable = base_params
             self.step_fn = make_train_step(cfg, self.opt, shift=train_cfg.shift)
+        else:
+            raise ValueError(f"mode={train_cfg.mode!r}: expected lora|lokr|full")
         self.opt_state = self.opt.init(self.trainable)
         self.step = 0
         self.history: list = []
@@ -147,6 +161,10 @@ class Trainer:
     def merged_params(self) -> Any:
         if self.tc.mode == "lora":
             return apply_lora(self.base_params, self.trainable, self.tc.lora_alpha)
+        if self.tc.mode == "lokr":
+            from acestep_tpu.training.lokr import apply_lokr
+
+            return apply_lokr(self.base_params, self.trainable, self.tc.lora_alpha)
         return self.trainable
 
     # -- loop ----------------------------------------------------------------

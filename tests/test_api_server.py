@@ -355,3 +355,26 @@ def test_v1_lyrics(server):
 
     code, _ = _post(port, "/v1/lyrics", {"task_id": "nope"})
     assert code == 404
+
+
+def test_jobs_delete_and_requeue(server):
+    """Results management (VERDICT r4 item 9): delete drops the job from the
+    store; requeue resubmits the ORIGINAL payload as a fresh task."""
+    srv, port = server
+    _, a = _post(port, "/release_task", {"caption": "managed", "seed": 3})
+    _wait_result(port, a["task_id"])
+
+    code, out = _post(port, "/v1/jobs/requeue", {"task_id": a["task_id"]})
+    assert code == 200 and out["task_id"] != a["task_id"]
+    res = _wait_result(port, out["task_id"])
+    assert res["status"] == "completed"
+    assert res["result"]["caption"] == "managed"     # original payload reran
+
+    code, out = _post(port, "/v1/jobs/delete", {"task_id": a["task_id"]})
+    assert code == 200 and out["deleted"] is True
+    code, _ = _post(port, "/query_result", {"task_id": a["task_id"]})
+    assert code == 404                               # gone from the store
+    code, _ = _post(port, "/v1/jobs/delete", {"task_id": a["task_id"]})
+    assert code == 404                               # idempotent-ish: 404 now
+    code, _ = _post(port, "/v1/jobs/requeue", {"task_id": "nope"})
+    assert code == 404

@@ -67,3 +67,41 @@ def test_i18n_covers_tabs(html):
         assert lang in html
     for key in ("dataset", "training", "lora"):
         assert f"{key}:" in html
+
+
+def test_i18n_full_coverage(html):
+    """Every data-i18n key used in the markup has a translation in ALL four
+    languages (en/zh/ja/he — the reference gradio_ui/i18n language set)."""
+    keys = set(re.findall(r'data-i18n="([^"]+)"', html))
+    assert len(keys) > 40, f"expected broad i18n tagging, got {len(keys)}"
+    for lang in ("en", "zh", "ja", "he"):
+        m = re.search(lang + r":\s*\{(.*?)\n  \},", html, re.S)
+        assert m, f"missing i18n dict for {lang}"
+        body = m.group(1)
+        have = set(re.findall(r"(\w+):", body))
+        missing = keys - have
+        assert not missing, f"{lang} missing translations: {sorted(missing)}"
+
+
+def test_hebrew_rtl(html):
+    assert 'עברית' in html                       # language switcher entry
+    assert 'dir = LANG === "he" ? "rtl" : "ltr"' in html
+
+
+def test_results_management_controls(html):
+    """Server-job rows carry play / re-queue / delete actions wired to the
+    management routes."""
+    assert "data-requeue" in html and "data-deljob" in html
+    assert "/v1/jobs/delete" in html and "/v1/jobs/requeue" in html
+
+
+def test_training_config_parity(html):
+    """Training tab exposes the reference tab's config surface: mode incl.
+    lokr, alpha, lokr factor, warmup, checkpoint cadence, seed, export name,
+    resume (training_handlers.py:568-967 field set)."""
+    ids = _ids(html)
+    for el in ("tr-mode", "tr-rank", "tr-alpha", "tr-lokr-factor", "tr-steps",
+               "tr-lr", "tr-bs", "tr-warmup", "tr-ckpt-every", "tr-seed",
+               "tr-export", "tr-resume"):
+        assert el in ids, el
+    assert ">lokr<" in html

@@ -129,3 +129,41 @@ def test_metrics_logger(tmp_path):
     assert len(events) == 5
     assert events[0]["tag"] == "train/loss" and events[4]["step"] == 4
     assert events[2]["value"] == pytest.approx(1 / 3)
+
+
+def test_trainer_lokr_mode(tmp_path):
+    """mode=lokr drives the kron-factored adapter through the same Trainer
+    surface as lora (train -> loss falls or stays finite, merged_params
+    differs from base, export round-trips)."""
+    from acestep_tpu import loader
+
+    params = dit.init_params(jax.random.key(0), TINY, dtype=jnp.float32)
+    tc = TrainConfig(lr=5e-3, warmup_steps=1, total_steps=10, lora_rank=2,
+                     lokr_factor=4, mode="lokr", checkpoint_every=0,
+                     log_every=100)
+    tr = Trainer(params, TINY, tc, str(tmp_path))
+    out = tr.train(_batches(6), max_steps=6, log_fn=lambda m: None)
+    assert out["steps"] == 6
+    assert np.isfinite(out["final_loss"])
+    merged = tr.merged_params()
+    base_leaf = jax.tree_util.tree_leaves(params)[0]
+    # at least one targeted kernel moved
+    deltas = [
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree_util.tree_leaves(merged),
+                        jax.tree_util.tree_leaves(params))
+        if getattr(a, "shape", None) == getattr(b, "shape", None)
+    ]
+    assert max(deltas) > 0
+    path = tr.export("lokr_adapter")
+    restored = loader.load_params(path)
+    assert restored                       # non-empty adapter tree round-trips
+
+
+def test_trainer_bad_mode_raises(tmp_path):
+    params = dit.init_params(jax.random.key(0), TINY, dtype=jnp.float32)
+    tc = TrainConfig(mode="dora")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dora"):
+        Trainer(params, TINY, tc, str(tmp_path))
