@@ -100,8 +100,8 @@ def build_codec(checkpoint: Optional[str]):
 
 def _decode_audio_payload(b64: str, fmt: str = ""):
     """base64 (or data-URL) audio -> [L, C] float32.  WAV and FLAC decode
-    natively (utils.audio / utils.flac); the format is sniffed from magic
-    bytes when not given."""
+    natively (utils.audio / utils.flac), MP3 through the libmpg123 binding
+    (utils.mp3); the format is sniffed from magic bytes when not given."""
     import numpy as np
 
     if b64.startswith("data:"):
@@ -109,11 +109,26 @@ def _decode_audio_payload(b64: str, fmt: str = ""):
     data = base64.b64decode(b64)
     fmt = (fmt or "").lower()
     if not fmt:
-        fmt = "flac" if data[:4] == b"fLaC" else "wav"
+        if data[:4] == b"fLaC":
+            fmt = "flac"
+        elif data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
+                                    and (data[1] & 0xE0) == 0xE0):
+            fmt = "mp3"
+        else:
+            fmt = "wav"
     if fmt == "flac":
         from acestep_tpu.utils.flac import decode_flac
 
         audio, _sr = decode_flac(data)
+        return np.asarray(audio, np.float32)
+    if fmt == "mp3":
+        from acestep_tpu.utils import mp3 as _mp3
+
+        if not _mp3.decoder_available():
+            raise ValueError(
+                "mp3 upload received but libmpg123 is not available on this "
+                "host — upload wav or flac instead")
+        audio, _sr = _mp3.decode_mp3_bytes(data)
         return np.asarray(audio, np.float32)
     from acestep_tpu.utils.audio import read_wav_bytes
 
@@ -195,10 +210,20 @@ def make_generate_fn(engine, tokenizer=None):
         # semantics); segments pass through without host reassembly
         segments = [s[0] for s in res.pcm16_segments()]
         fmt = p.str("audio_format", "wav").lower()
+        if fmt == "mp3":
+            from acestep_tpu.utils import mp3 as _mp3
+
+            if _mp3.encoder_available():
+                audio = (segments[0] if len(segments) == 1
+                         else np.concatenate(segments, axis=0))
+                audio_b64 = base64.b64encode(
+                    _mp3.encode_mp3(audio, res.sample_rate)).decode()
+            else:
+                fmt = "wav"                     # AudioSaver's fallback ladder
         if fmt == "flac":
             audio = segments[0] if len(segments) == 1 else np.concatenate(segments, axis=0)
             audio_b64 = base64.b64encode(encode_flac(audio, res.sample_rate)).decode()
-        else:
+        elif fmt != "mp3":
             from acestep_tpu.utils.audio import wav_bytes
 
             fmt = "wav"

@@ -153,9 +153,11 @@ class AudioSaver:
 
     * wav  — 16-bit PCM (always available)
     * flac — dependency-free verbatim-FLAC encoder (utils/flac.py)
-    * mp3  — no encoder ships in this image: warns and falls back to wav
-      (the reference degrades the same way when torchaudio backends are
-      missing, audio_utils.py:200-260)
+    * mp3  — LAME via the system libmp3lame (utils/mp3.py ctypes binding,
+      320 kbps joint stereo — the reference encodes through the same
+      library); when the shared library is absent the saver warns and
+      falls back to wav (the reference degrades the same way when its
+      torchaudio backend is missing, audio_utils.py:200-260)
     """
 
     FORMATS = ("wav", "flac", "mp3")
@@ -180,8 +182,17 @@ class AudioSaver:
             _flac.write_flac(out, audio, sample_rate)
             return out
         if fmt == "mp3":
+            from acestep_tpu.utils import mp3 as _mp3
+
+            if _mp3.encoder_available():
+                if isinstance(audio, (list, tuple)):
+                    audio = np.concatenate(
+                        [np.asarray(a) for a in audio], axis=0)
+                out = root + ".mp3"
+                _mp3.write_mp3(out, np.asarray(audio), sample_rate)
+                return out
             _warnings.warn(
-                "no MP3 encoder available in this environment; saving WAV instead",
+                "libmp3lame not available on this host; saving WAV instead",
                 stacklevel=2,
             )
             fmt = "wav"

@@ -55,9 +55,16 @@ def test_audio_saver_formats(tmp_path):
     y2, sr2 = decode_flac(open(p_flac, "rb").read())
     np.testing.assert_allclose(y2, x, atol=1.0 / 32000)
 
-    with pytest.warns(UserWarning):
+    from acestep_tpu.utils import mp3 as mp3_mod
+
+    if mp3_mod.encoder_available():
         p_mp3 = saver.save(x, str(tmp_path / "c.mp3"), 48000, "mp3")
-    assert p_mp3.endswith(".wav")     # graceful fallback
+        assert p_mp3.endswith(".mp3")
+        assert open(p_mp3, "rb").read(2)[0] == 0xFF     # MPEG frame sync
+    else:
+        with pytest.warns(UserWarning):
+            p_mp3 = saver.save(x, str(tmp_path / "c.mp3"), 48000, "mp3")
+        assert p_mp3.endswith(".wav")     # graceful fallback
 
 
 def test_deterministic_uuid_stable():
@@ -121,3 +128,58 @@ def test_flac_fixed_order_warmup_roundtrip():
     y, sr = decode_flac(data)
     assert sr == 32000
     np.testing.assert_array_equal(np.round(y * 32767).astype(np.int16), pcm)
+
+
+# ---------------------------------------------------------------------------
+# mp3 via the system libmp3lame / libmpg123 (utils/mp3.py ctypes binding)
+# ---------------------------------------------------------------------------
+
+mp3_mod = pytest.importorskip("acestep_tpu.utils.mp3")
+needs_mp3 = pytest.mark.skipif(
+    not (mp3_mod.encoder_available() and mp3_mod.decoder_available()),
+    reason="libmp3lame/libmpg123 not on this host")
+
+
+@needs_mp3
+def test_mp3_roundtrip_tone():
+    sr = 48000
+    t = np.arange(sr * 2) / sr
+    x = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                  0.5 * np.sin(2 * np.pi * 554 * t)], axis=1).astype(np.float32)
+    data = mp3_mod.encode_mp3(x, sr, 320)
+    assert len(data) > 70000                     # ~320 kbps x 2 s
+    dec, rate = mp3_mod.decode_mp3_bytes(data)
+    assert rate == sr and dec.shape[1] == 2
+    # find the LAME encoder delay by correlation, then require near-identity
+    ref = x[: sr, 0]
+    best = max(
+        (float(dec[d:d + sr, 0] @ ref)
+         / (np.linalg.norm(dec[d:d + sr, 0]) * np.linalg.norm(ref) + 1e-12)
+         for d in range(0, 4000, 7) if dec.shape[0] >= d + sr),
+    )
+    assert best > 0.995
+
+
+@needs_mp3
+def test_mp3_mono_and_rates():
+    for sr in (44100, 48000):
+        x = (np.sin(2 * np.pi * 330 * np.arange(sr) / sr) * 0.4).astype(np.float32)
+        data = mp3_mod.encode_mp3(x, sr, 192)      # mono input upmixes
+        dec, rate = mp3_mod.decode_mp3_bytes(data)
+        assert rate == sr and dec.shape[0] > sr * 0.9
+
+
+@needs_mp3
+def test_mp3_upload_sniffed(tmp_path):
+    """The serving upload decoder sniffs and decodes mp3 payloads."""
+    import base64
+
+    from acestep_tpu.serving.launch import _decode_audio_payload
+
+    sr = 48000
+    x = (np.sin(2 * np.pi * 220 * np.arange(sr) / sr)[:, None]
+         * np.float32(0.4)).astype(np.float32)
+    data = mp3_mod.encode_mp3(x, sr, 192)
+    audio = _decode_audio_payload(base64.b64encode(data).decode())
+    assert audio.ndim == 2 and audio.shape[0] > sr * 0.9
+    assert np.isfinite(audio).all()

@@ -116,3 +116,24 @@ def test_full_generate_fn_lm_pipeline(monkeypatch):
     assert out["cot_text"].startswith("<think>")
     assert "bpm: 128" in out["cot_text"]          # FSM injected user value
     assert "lm_phase2_time_cost" in out["time_costs"]
+
+
+def test_generate_fn_mp3_output():
+    """audio_format=mp3 returns a real LAME stream (decodable by mpg123) when
+    the system libraries are present; wav fallback otherwise."""
+    from acestep_tpu.utils import mp3 as mp3_mod
+
+    gen = make_generate_fn(_engine(), tokenizer=MiniTok())
+    out = gen({"caption": "retro beat", "duration": 10,
+               "audio_format": "mp3", "seed": 4})
+    data = base64.b64decode(out["audio_base64"])
+    if mp3_mod.encoder_available():
+        assert out["audio_format"] == "mp3"
+        assert data[0] == 0xFF and (data[1] & 0xE0) == 0xE0   # frame sync
+        if mp3_mod.decoder_available():
+            audio, sr = mp3_mod.decode_mp3_bytes(data)
+            assert sr == out["sample_rate"]
+            assert audio.shape[0] > 0 and np.isfinite(audio).all()
+    else:
+        assert out["audio_format"] == "wav"
+        assert data[:4] == b"RIFF"
