@@ -580,6 +580,31 @@ def forward(
         flags = [lt == "sliding_attention" for lt in cfg.layer_types]
         k_stack, v_stack = kv_list
         n_layers = len(flags)
+        # whole-model Euler-step megakernel (ops/pallas/dit_mega.py): every
+        # layer in ONE pallas_call, weights streamed through an in-kernel DMA
+        # pipeline — opt-in while hardware-gated (ACESTEP_TPU_DIT_MEGA=1),
+        # falls back here whenever supported() declines
+        import os as _os
+
+        if (_os.environ.get("ACESTEP_TPU_DIT_MEGA", "0") == "1"
+                and axis_name is None and b == 1 and attn_mask is None):
+            from acestep_tpu.ops.pallas import dit_mega as _dm
+
+            if _dm.supported(layers, cfg, b, tp, k_stack.shape[3]):
+                if encoder_attn_mask is not None:
+                    encm = jnp.where(encoder_attn_mask.astype(bool),
+                                     0.0, -1e30).astype(jnp.float32)
+                else:
+                    encm = jnp.zeros((1, k_stack.shape[3]), jnp.float32)
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+                x = _dm.dit_layers_mega(
+                    layers, cfg, x.astype(jnp.float32), k_stack, v_stack,
+                    timestep_proj.astype(jnp.float32),
+                    cos.astype(jnp.float32), sin.astype(jnp.float32),
+                    flags, encm, interpret=not on_tpu,
+                ).astype(dtype)
+                return _finalize_output(params, cfg, x, temb, dtype, t_len,
+                                        patch)
         # big quantized kernels leave the scan xs and stream by traced layer
         # index instead (ops.qlinear.StackedWeight -> scalar-prefetch kernel):
         # scan-xs weight slices otherwise materialize an HBM copy of every
@@ -629,7 +654,12 @@ def forward(
                  k_stack, v_stack, sliding_flags),
             )
 
-    # output AdaLN (2-col table) + unpatchify (convtranspose1d stride=patch)
+    return _finalize_output(params, cfg, x, temb, dtype, t_len, patch)
+
+
+def _finalize_output(params, cfg, x, temb, dtype, t_len: int, patch: int):
+    """Output AdaLN (2-col table) + unpatchify (convtranspose1d stride=patch)."""
+    b, tp, _ = x.shape
     out_mod = params["out_scale_shift_table"].astype(jnp.float32)[None] + \
         temb.astype(jnp.float32)[:, None, :]
     out_shift = out_mod[:, 0:1, :].astype(dtype)
