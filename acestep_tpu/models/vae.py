@@ -225,6 +225,22 @@ def init_params(key: jax.Array, cfg: VAEConfig, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 def _res_unit(p: Params, x: jax.Array, dilation: int) -> jax.Array:
+    import os as _os
+
+    _fused_flag = _os.environ.get("ACESTEP_TPU_VAE_FUSED", "auto")
+    if _fused_flag != "0":
+        # fused snake->dilated-conv->snake->1x1-conv->residual kernel
+        # (ops/pallas/vae_resunit.py) for the bandwidth-bound late stages —
+        # DEFAULT on TPU backends (measured 1.14x on the 120 s decode with
+        # 43.6 dB agreement on worst-case random weights; docs/BENCHMARK.md
+        # round-5 VAE study); "0" restores the XLA convs
+        from acestep_tpu.ops.pallas import vae_resunit as _vru
+
+        if (_vru.supported(x.shape[-1], jax.default_backend())
+                and p["conv1"]["w"].shape[0] == 7
+                and p["conv2"]["w"].shape[0] == 1
+                and p["conv1"]["w"].shape[1] == p["conv1"]["w"].shape[2]):
+            return _vru.fused_res_unit(p, x, dilation)
     pad = ((7 - 1) * dilation) // 2
     y = conv1d(snake(x, **p["snake1"]), p["conv1"]["w"], p["conv1"].get("b"),
                padding=pad, dilation=dilation)
