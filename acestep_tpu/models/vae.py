@@ -252,6 +252,29 @@ def _res_unit(p: Params, x: jax.Array, dilation: int) -> jax.Array:
     return x + y
 
 
+
+def _res_trio(blk: Params, x: jax.Array) -> jax.Array:
+    """The per-block res-unit chain (dilations 1, 3, 9).  On TPU the whole
+    trio runs as ONE fused kernel (one HBM read + one write for all three
+    units, ops/pallas/vae_resunit.fused_res_trio) when the channel count
+    supports it; otherwise unit-wise (each unit itself fused when eligible)."""
+    import os as _os
+
+    if _os.environ.get("ACESTEP_TPU_VAE_FUSED", "auto") != "0":
+        from acestep_tpu.ops.pallas import vae_resunit as _vru
+
+        units = (blk["res1"], blk["res2"], blk["res3"])
+        if (_vru.trio_supported(x.shape[-1], jax.default_backend())
+                and all(u["conv1"]["w"].shape[0] == 7
+                        and u["conv2"]["w"].shape[0] == 1
+                        and u["conv1"]["w"].shape[1] == u["conv1"]["w"].shape[2]
+                        for u in units)):
+            return _vru.fused_res_trio(units, x)
+    x = _res_unit(blk["res1"], x, 1)
+    x = _res_unit(blk["res2"], x, 3)
+    return _res_unit(blk["res3"], x, 9)
+
+
 def encode(params: Params, cfg: VAEConfig, audio: jax.Array) -> jax.Array:
     """audio [B, L, 2] -> posterior MEAN latents [B, L//hop, 64]
     (the C++ encode returns mean channels only, vae_model.cpp:1004-1043)."""
@@ -259,9 +282,7 @@ def encode(params: Params, cfg: VAEConfig, audio: jax.Array) -> jax.Array:
     x = audio.astype(p["conv1"]["w"].dtype)
     x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
     for blk, s in zip(p["blocks"], cfg.downsampling_ratios):
-        x = _res_unit(blk["res1"], x, 1)
-        x = _res_unit(blk["res2"], x, 3)
-        x = _res_unit(blk["res3"], x, 9)
+        x = _res_trio(blk, x)
         x = snake(x, **blk["snake1"])
         x = conv1d(x, blk["conv1"]["w"], blk["conv1"].get("b"),
                    stride=s, padding=math.ceil(s / 2))
@@ -279,9 +300,7 @@ def encode_and_sample(
     x = audio.astype(jnp.float32)
     x = conv1d(x, p["conv1"]["w"], p["conv1"].get("b"), padding=3)
     for blk, s in zip(p["blocks"], cfg.downsampling_ratios):
-        x = _res_unit(blk["res1"], x, 1)
-        x = _res_unit(blk["res2"], x, 3)
-        x = _res_unit(blk["res3"], x, 9)
+        x = _res_trio(blk, x)
         x = snake(x, **blk["snake1"])
         x = conv1d(x, blk["conv1"]["w"], blk["conv1"].get("b"),
                    stride=s, padding=math.ceil(s / 2))
@@ -305,9 +324,7 @@ def decode(params: Params, cfg: VAEConfig, latents: jax.Array) -> jax.Array:
         x = snake(x, **blk["snake1"])
         x = conv_transpose1d(x, blk["conv_t1"]["w"], blk["conv_t1"].get("b"),
                              stride=s, padding=math.ceil(s / 2))
-        x = _res_unit(blk["res1"], x, 1)
-        x = _res_unit(blk["res2"], x, 3)
-        x = _res_unit(blk["res3"], x, 9)
+        x = _res_trio(blk, x)
     x = snake(x, **p["snake1"])
     x = conv1d(x, p["conv2"]["w"], None, padding=3)
     return x

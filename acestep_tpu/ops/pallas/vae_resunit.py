@@ -215,3 +215,177 @@ def fused_res_unit(p, x: jax.Array, dilation: int, *,
     out = _batched_entry(dilation, interpret)(
         xp, w1, b1, w2, b2, a1, be1, a2, be2)
     return out[:, :l, :].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Whole-block trio: res_unit(d=1) ∘ res_unit(d=3) ∘ res_unit(d=9) in ONE
+# kernel — one HBM read + one write for the entire trio (the decoder runs
+# exactly this chain per block, models/vae.decode).  Chained reach:
+# 3·1 + 3·3 + 3·9 = 39 -> halo 40.
+# ---------------------------------------------------------------------------
+
+TRIO_D = (1, 3, 9)
+TRIO_HALO = 40
+_TRIO_TL = 1024            # ~8 live [TL, C] f32 tiles; stay far under 16 MB
+
+
+def trio_supported(c: int, backend: str) -> bool:
+    return c == 128 and backend in ("tpu", "axon")
+
+
+def _unit_math(src, d, out_lo, out_len, w1, b1, w2, b2, a1, be1, a2, be2):
+    """One res unit over ``src`` rows [out_lo, out_lo+out_len) (needs src
+    valid on [out_lo-3d, out_lo+out_len+3d)) — shared by kernel and the
+    XLA backward; src is [L, C] (kernel) or [N, L, C] (XLA)."""
+    s1 = src + (1.0 / (be1 + 1e-9)) * jnp.square(jnp.sin(a1 * src))
+    acc = None
+    for j in range(7):
+        off = out_lo + (j - 3) * d
+        piece = s1[..., off:off + out_len, :]
+        part = jnp.einsum("...lc,cd->...ld", piece, w1[j],
+                          preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    y1 = acc + b1
+    s2 = y1 + (1.0 / (be2 + 1e-9)) * jnp.square(jnp.sin(a2 * y1))
+    y2 = jnp.einsum("...lc,cd->...ld", s2, w2,
+                    preferred_element_type=jnp.float32) + b2
+    return src[..., out_lo:out_lo + out_len, :] + y2
+
+
+def _trio_kernel(tl: int, l_true: int, x_hbm,
+                 w1s, b1s, w2s, b2s, a1s, be1s, a2s, be2s,
+                 o_ref, xbuf, sem):
+    n = pl.program_id(0)
+    t = pl.program_id(1)
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(t * tl, tl + 2 * TRIO_HALO), :], xbuf, sem)
+    cp.start()
+    cp.wait()
+
+    # chained extents: u1 valid center±36, u2 center±27, u3 center.
+    # After units 1/2, rows outside the TRUE sequence are zeroed so the next
+    # unit's conv sees hard zero padding exactly like the sequential path
+    # (its conv zero-pads at sequence edges, not unit-1-of-padding values).
+    u = xbuf[:]
+    lo = (TRIO_HALO - 36, 36 - 27, 27)
+    ln = (tl + 72, tl + 54, tl)
+    off0 = (-36, -27)                 # u_i row 0's true coord minus t*tl
+    for i in range(3):
+        u = _unit_math(u, TRIO_D[i], lo[i], ln[i],
+                       w1s[i], b1s[i, 0], w2s[i, 0], b2s[i, 0],
+                       a1s[i, 0], be1s[i, 0], a2s[i, 0], be2s[i, 0])
+        if i < 2:
+            rows = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+            abs_pos = t * tl + off0[i] + rows
+            u = jnp.where((abs_pos >= 0) & (abs_pos < l_true), u, 0.0)
+    o_ref[:] = u
+
+
+def _trio_call(interpret: bool, l_true: int, xp,
+               w1s, b1s, w2s, b2s, a1s, be1s, a2s, be2s):
+    n, lp2, c = xp.shape
+    tl = _TRIO_TL
+    n_tiles = (lp2 - 2 * TRIO_HALO) // tl
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda nn, tt: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_trio_kernel, tl, l_true),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            const((3, 7, c, c)), const((3, 1, c)),
+            const((3, 1, c, c)), const((3, 1, c)),
+            const((3, 1, c)), const((3, 1, c)),
+            const((3, 1, c)), const((3, 1, c)),
+        ],
+        out_specs=pl.BlockSpec((None, tl, c), lambda nn, tt: (nn, tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tl, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tl + 2 * TRIO_HALO, c), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xp, w1s, b1s, w2s, b2s, a1s, be1s, a2s, be2s)
+
+
+def _xla_trio(l_true, xp, w1s, b1s, w2s, b2s, a1s, be1s, a2s, be2s):
+    u = xp
+    lo = (TRIO_HALO - 36, 36 - 27, 27)
+    lout = xp.shape[1] - 2 * TRIO_HALO
+    ln = (lout + 72, lout + 54, lout)
+    off0 = (-36, -27)
+    for i in range(3):
+        u = _unit_math(u, TRIO_D[i], lo[i], ln[i],
+                       w1s[i], b1s[i, 0], w2s[i, 0], b2s[i, 0],
+                       a1s[i, 0], be1s[i, 0], a2s[i, 0], be2s[i, 0])
+        if i < 2:
+            rows = jnp.arange(u.shape[1])[None, :, None] + off0[i]
+            u = jnp.where((rows >= 0) & (rows < l_true), u, 0.0)
+    return u
+
+
+def _trio_entry(interpret: bool, l_true: int):
+    import jax.custom_batching as cb
+
+    @cb.custom_vmap
+    def inner(*args):
+        return _trio_call(interpret, l_true, *args)
+
+    @inner.def_vmap
+    def _rule(axis_size, in_batched, xp, *rest):
+        assert in_batched[0] and not any(in_batched[1:])
+        bsz, n, lp2, c = xp.shape
+        out = _trio_call(interpret, l_true, xp.reshape(bsz * n, lp2, c), *rest)
+        return out.reshape(bsz, n, out.shape[1], c), True
+
+    diff = jax.custom_vjp(lambda *args: inner(*args))
+
+    def _fwd(*args):
+        return inner(*args), args
+
+    def _bwd(args, g):
+        _, vjp = jax.vjp(functools.partial(_xla_trio, l_true), *args)
+        return vjp(g)
+
+    diff.defvjp(_fwd, _bwd)
+    return diff
+
+
+def _snake_vec(sn, c):
+    return (jnp.exp(sn["alpha"].astype(jnp.float32)).reshape(1, c),
+            jnp.exp(sn["beta"].astype(jnp.float32)).reshape(1, c))
+
+
+def _bias_vec(conv, c):
+    b = conv.get("b")
+    return (jnp.zeros((c,), jnp.float32) if b is None
+            else b.astype(jnp.float32)).reshape(1, c)
+
+
+def fused_res_trio(units, x: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """Three chained res units (dilations 1, 3, 9) in one kernel.
+    ``units``: (res1, res2, res3) param dicts; x: [N, L, C]."""
+    n, l, c = x.shape
+    tl = _TRIO_TL
+    n_tiles = -(-l // tl)
+    pad_r = n_tiles * tl - l
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (TRIO_HALO, TRIO_HALO + pad_r), (0, 0)))
+    w1s = jnp.stack([u["conv1"]["w"].astype(jnp.float32) for u in units])
+    b1s = jnp.stack([_bias_vec(u["conv1"], c) for u in units])
+    w2s = jnp.stack([u["conv2"]["w"].astype(jnp.float32).reshape(1, c, c)
+                     for u in units])
+    b2s = jnp.stack([_bias_vec(u["conv2"], c) for u in units])
+    a1s = jnp.stack([_snake_vec(u["snake1"], c)[0] for u in units])
+    be1s = jnp.stack([_snake_vec(u["snake1"], c)[1] for u in units])
+    a2s = jnp.stack([_snake_vec(u["snake2"], c)[0] for u in units])
+    be2s = jnp.stack([_snake_vec(u["snake2"], c)[1] for u in units])
+    out = _trio_entry(interpret, l)(
+        xp, w1s, b1s, w2s, b2s, a1s, be1s, a2s, be2s)
+    return out[:, :l, :].astype(x.dtype)

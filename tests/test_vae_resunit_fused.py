@@ -98,3 +98,63 @@ def test_grad_through_fused_unit():
     g_fused = np.asarray(jax.grad(loss_fused)(p["conv1"]["w"]))
     g_xla = np.asarray(jax.grad(loss_xla)(p["conv1"]["w"]))
     np.testing.assert_allclose(g_fused, g_xla, atol=1e-5, rtol=1e-4)
+
+
+def _trio_params(c, key=11):
+    return ({"res1": _unit_params(c, key), "res2": _unit_params(c, key + 1),
+             "res3": _unit_params(c, key + 2)})
+
+
+@pytest.mark.parametrize("length", [2048, 3000])
+def test_trio_parity_vs_sequential(length):
+    """One-kernel trio == three sequential units, INCLUDING the sequence-edge
+    zero-pad semantics (units 2/3 must see hard zeros outside the true
+    sequence, not unit-1-of-padding values — the in-kernel masks)."""
+    c = 128
+    blk = _trio_params(c)
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((2, length, c)) * 0.5, jnp.float32)
+    ref = x
+    for name, d in (("res1", 1), ("res2", 3), ("res3", 9)):
+        ref = vae._res_unit(blk[name], ref, d)
+    got = vae_resunit.fused_res_trio(
+        (blk["res1"], blk["res2"], blk["res3"]), x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_trio_lax_map_and_grad():
+    c = 128
+    blk = _trio_params(c, key=21)
+    rng = np.random.default_rng(12)
+    stack = jnp.asarray(rng.standard_normal((2, 1, 1024, c)) * 0.5, jnp.float32)
+    units = (blk["res1"], blk["res2"], blk["res3"])
+    ref = np.asarray(jax.lax.map(
+        lambda x: vae._res_unit(blk["res3"],
+                                vae._res_unit(blk["res2"],
+                                              vae._res_unit(blk["res1"], x, 1),
+                                              3), 9), stack))
+    got = np.asarray(jax.lax.map(
+        lambda x: vae_resunit.fused_res_trio(units, x, interpret=True),
+        stack, batch_size=2))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+    x = stack[0]
+    tgt = jnp.zeros_like(x)
+
+    def loss(w):
+        u = ({**blk["res1"], "conv1": {**blk["res1"]["conv1"], "w": w}},
+             blk["res2"], blk["res3"])
+        return jnp.mean((vae_resunit.fused_res_trio(u, x, interpret=True)
+                         - tgt) ** 2)
+
+    def loss_ref(w):
+        u1 = {**blk["res1"], "conv1": {**blk["res1"]["conv1"], "w": w}}
+        y = vae._res_unit(blk["res3"],
+                          vae._res_unit(blk["res2"],
+                                        vae._res_unit(u1, x, 1), 3), 9)
+        return jnp.mean((y - tgt) ** 2)
+
+    g = np.asarray(jax.grad(loss)(blk["res1"]["conv1"]["w"]))
+    g_ref = np.asarray(jax.grad(loss_ref)(blk["res1"]["conv1"]["w"]))
+    np.testing.assert_allclose(g, g_ref, atol=1e-5, rtol=1e-3)
